@@ -1,0 +1,76 @@
+"""Fixed-shape greedy NMS on device.
+
+Replaces the reference's CPU rotated NMS round-trip
+(det3d/core/bbox/box_torch_ops.py:528 rotate_nms -> GPU->CPU->C++
+rotate_non_max_suppression_cpu -> GPU) with an all-on-device pipeline:
+top-k prefilter -> rotated IoU matrix -> greedy suppression loop -> padded
+fixed-size keep set. Batched via vmap; no dynamic shapes anywhere.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .rotated_iou import rotated_iou_matrix
+
+
+def greedy_nms_from_iou(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float) -> jnp.ndarray:
+    """Greedy NMS over boxes already sorted by descending score.
+
+    iou [N, N]; valid [N] (invalid boxes never kept). Returns keep [N] bool.
+
+    Instead of N sequential suppression steps (hostile to TPU: ~7 us/step of
+    serialized tiny vector ops), iterate the suppression map
+        keep[i] <- valid[i] and no j < i with keep[j] and iou[j, i] > t
+    to its fixpoint. The greedy solution is the unique fixpoint (induction on
+    score rank), and each box stabilizes after depth-of-its-suppression-chain
+    iterations, so the while_loop exits after a handful of [N, N] matvec
+    rounds in practice (bounded by N for exactness).
+    """
+    N = iou.shape[0]
+    # strict upper triangle: j suppresses i only if j ranks higher (j < i)
+    tri = jnp.tril(jnp.ones((N, N), bool), k=-1).T
+    suppress_mat = (iou > iou_threshold) & tri  # [j, i] j suppresses i
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.any(keep != prev) & (it < N)
+
+    def body(state):
+        keep, _, it = state
+        suppressed = jnp.any(suppress_mat & keep[:, None], axis=0)
+        return valid & ~suppressed, keep, it + 1
+
+    keep0 = valid
+    keep, _, _ = jax.lax.while_loop(cond, body, (keep0, ~keep0, jnp.int32(0)))
+    return keep
+
+
+@partial(jax.jit, static_argnames=("pre_max_size", "post_max_size"))
+def rotate_nms(
+    boxes_bev: jnp.ndarray,  # [N, 5] (x, y, w, l, yaw)
+    scores: jnp.ndarray,  # [N]
+    valid: jnp.ndarray,  # [N] bool
+    pre_max_size: int = 1000,
+    post_max_size: int = 83,
+    iou_threshold: float = 0.2,
+):
+    """Rotated NMS with fixed output size.
+
+    Returns (indices [post_max_size] into the input arrays, keep_valid
+    [post_max_size] bool). Matches reference ordering: kept boxes in
+    descending score order.
+    """
+    masked_scores = jnp.where(valid, scores, -jnp.inf)
+    top_scores, top_idx = jax.lax.top_k(masked_scores, pre_max_size)
+    top_valid = jnp.isfinite(top_scores)
+    top_boxes = boxes_bev[top_idx]
+
+    iou = rotated_iou_matrix(top_boxes, top_boxes)
+    keep = greedy_nms_from_iou(iou, top_valid, iou_threshold)
+
+    keep_scores = jnp.where(keep, top_scores, -jnp.inf)
+    sel_scores, sel = jax.lax.top_k(keep_scores, post_max_size)
+    return top_idx[sel], jnp.isfinite(sel_scores)
