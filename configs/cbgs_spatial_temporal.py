@@ -1,0 +1,16 @@
+"""AL experiment: spatial_temporal selector (reference counterpart: examples/active/cbgs_spatial_temporal.py)."""
+from _cbgs_base import *  # noqa: F401,F403
+
+selector = dict(
+    type="SpatialTemporalSelector",
+    k=8,
+    logs_file="data/nuScenes/v1.0-trainval/log.json",
+    normalize="exp",
+    distance_store_file="data/buffers/dijkstra_distance_map.npy",
+    lambda_t=1,
+    aggregate="sum",
+    budget=4800,
+    buffer_file="data/buffers/spatial_temporal.json",
+    infos_origin="data/nuScenes/infos_train_10sweeps_withvelo.pkl",
+)
+work_dir = "./work_dirs/cbgs_spatial_temporal"

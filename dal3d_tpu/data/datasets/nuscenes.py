@@ -1,0 +1,184 @@
+"""nuScenes dataset (infos-pkl driven) with CBGS class-balanced resampling.
+
+Parity with det3d/datasets/nuscenes/nuscenes.py:29-320:
+- load_infos (:68-103): at train time, resample frames per class with ratio
+  (1/num_classes) / class_frequency (CBGS), keeping ``frac = 0.25 * len`` for
+  ``reset()``,
+- get_sensor_data (:152): run the pipeline over the info dict,
+- evaluation (:181-320): convert padded detections to nuScenes submission
+  json (yaw -> -yaw - pi/2, sensor->global transform, speed-based attributes)
+  and shell into the official devkit when available (the devkit stays the
+  host-side metric oracle).
+"""
+from __future__ import annotations
+
+import pickle
+import random
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ...utils.fileio import dump, load
+from ..pipelines.loading import LoadPointCloudAnnotations, LoadPointCloudFromFile
+from ..pipelines.preprocess import Preprocess, ReformatFixedShape
+
+general_to_detection = {
+    "human.pedestrian.adult": "pedestrian",
+    "human.pedestrian.child": "pedestrian",
+    "human.pedestrian.wheelchair": "ignore",
+    "human.pedestrian.stroller": "ignore",
+    "human.pedestrian.personal_mobility": "ignore",
+    "human.pedestrian.police_officer": "pedestrian",
+    "human.pedestrian.construction_worker": "pedestrian",
+    "animal": "ignore",
+    "vehicle.car": "car",
+    "vehicle.motorcycle": "motorcycle",
+    "vehicle.bicycle": "bicycle",
+    "vehicle.bus.bendy": "bus",
+    "vehicle.bus.rigid": "bus",
+    "vehicle.truck": "truck",
+    "vehicle.construction": "construction_vehicle",
+    "vehicle.emergency.ambulance": "ignore",
+    "vehicle.emergency.police": "ignore",
+    "vehicle.trailer": "trailer",
+    "movable_object.barrier": "barrier",
+    "movable_object.trafficcone": "traffic_cone",
+    "movable_object.pushable_pullable": "ignore",
+    "movable_object.debris": "ignore",
+    "static_object.bicycle_rack": "ignore",
+}
+
+
+def build_pipeline(pipeline_cfgs: List[dict], tasks=None, max_points=300000):
+    stages = []
+    for cfg in pipeline_cfgs:
+        cfg = dict(cfg)
+        t = cfg.pop("type")
+        if t == "LoadPointCloudFromFile":
+            stages.append(LoadPointCloudFromFile(**cfg))
+        elif t == "LoadPointCloudAnnotations":
+            stages.append(LoadPointCloudAnnotations(**cfg))
+        elif t == "Preprocess":
+            stages.append(Preprocess(cfg["cfg"]))
+        elif t in ("Reformat", "ReformatFixedShape"):
+            stages.append(ReformatFixedShape(tasks=tasks, max_points=max_points, **cfg))
+        elif t in ("Voxelization", "AssignTarget"):
+            # on-device in this framework (ops.voxelize / core.target_assigner)
+            continue
+        else:
+            raise KeyError(f"unknown pipeline stage {t}")
+    return stages
+
+
+class NuScenesDataset:
+    NumPointFeatures = 5
+
+    def __init__(
+        self,
+        info_path: str,
+        root_path: str = "",
+        nsweeps: int = 10,
+        class_names: Optional[List[str]] = None,
+        pipeline: Optional[List[dict]] = None,
+        tasks: Optional[List[dict]] = None,
+        test_mode: bool = False,
+        max_points: int = 300000,
+        version: str = "v1.0-trainval",
+        **kwargs,
+    ):
+        self._info_path = info_path
+        self._root_path = root_path
+        self.nsweeps = nsweeps
+        assert self.nsweeps > 0, "At least input one sweep please!"
+        self._class_names = list(class_names or [])
+        self.test_mode = test_mode
+        self.version = version
+        self.eval_version = "detection_cvpr_2019"
+        self.load_infos(info_path)
+        self.pipeline = build_pipeline(pipeline or [], tasks=tasks, max_points=max_points) if pipeline else []
+
+    # ------------------------------------------------------------------
+    def load_infos(self, info_path: str):
+        with open(info_path, "rb") as f:
+            _infos_all = pickle.load(f)
+        self._nusc_infos_all = _infos_all
+        if not self.test_mode:
+            self.frac = int(len(_infos_all) * 0.25)
+            _cls_infos = {name: [] for name in self._class_names}
+            for info in _infos_all:
+                for name in set(info["gt_names"]):
+                    if name in self._class_names:
+                        _cls_infos[name].append(info)
+            duplicated = sum(len(v) for v in _cls_infos.values())
+            if duplicated == 0:
+                self._nusc_infos = list(_infos_all)
+                return
+            _cls_dist = {k: len(v) / duplicated for k, v in _cls_infos.items()}
+            self._nusc_infos = []
+            frac = 1.0 / len(self._class_names)
+            ratios = [frac / v if v > 0 else 0.0 for v in _cls_dist.values()]
+            for cls_infos, ratio in zip(_cls_infos.values(), ratios):
+                self._nusc_infos += np.random.choice(cls_infos, int(len(cls_infos) * ratio)).tolist()
+        else:
+            if isinstance(_infos_all, dict):
+                self._nusc_infos = [i for v in _infos_all.values() for i in v]
+            else:
+                self._nusc_infos = list(_infos_all)
+
+    def reset(self):
+        random.shuffle(self._nusc_infos_all)
+        self._nusc_infos = self._nusc_infos_all[: self.frac]
+
+    def __len__(self):
+        return len(self._nusc_infos)
+
+    # ------------------------------------------------------------------
+    def get_sensor_data(self, idx: int) -> Dict[str, Any]:
+        info = self._nusc_infos[idx]
+        res = {
+            "lidar": {"type": "lidar", "points": None, "nsweeps": self.nsweeps},
+            "metadata": {
+                "image_prefix": self._root_path,
+                "num_point_features": self.NumPointFeatures,
+                "token": info["token"],
+            },
+            "mode": "val" if self.test_mode else "train",
+        }
+        for stage in self.pipeline:
+            res, info = stage(res, info)
+        return res
+
+    def __getitem__(self, idx: int):
+        return self.get_sensor_data(idx)
+
+    # ------------------------------------------------------------------
+    def convert_detections_to_nusc(self, detections: Dict[str, dict]) -> dict:
+        """Padded device detections -> nuScenes submission dict
+        (reference nuscenes.py:181-320 + nusc_common.py:222-266)."""
+        from .nusc_eval import detections_to_nusc_boxes
+
+        nusc_annos = {"results": {}, "meta": {
+            "use_camera": False, "use_lidar": True, "use_radar": False,
+            "use_map": False, "use_external": False,
+        }}
+        token_to_info = {i["token"]: i for i in self._nusc_infos}
+        for token, det in detections.items():
+            info = token_to_info[token]
+            nusc_annos["results"][token] = detections_to_nusc_boxes(
+                det, info, self._class_names
+            )
+        return nusc_annos
+
+    def evaluation(self, detections: Dict[str, dict], output_dir: str = ".", testset=False):
+        """Write submission json; run the official devkit if importable."""
+        import os
+
+        nusc_annos = self.convert_detections_to_nusc(detections)
+        res_path = os.path.join(output_dir, "results_nusc.json")
+        dump(nusc_annos, res_path)
+        try:
+            from .nusc_eval import eval_main
+
+            return eval_main(res_path, self._root_path, self.version, self.eval_version, output_dir)
+        except ImportError:
+            return {"results": {"nusc": f"submission written to {res_path} (devkit unavailable)"}}

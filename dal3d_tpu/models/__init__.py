@@ -1,0 +1,7 @@
+from .registry import BACKBONES, DETECTORS, HEADS, LOSSES, NECKS, READERS
+from .builder import build_detector
+from .detectors.voxelnet import FPNVoxelNet, VoxelNet
+from .heads.mg_head import MultiGroupHead, LossConfig, TestConfig, multi_group_loss, multi_group_predict
+from .backbones.scn import FPNSpMiddleResNetFHD, SpMiddleResNetFHD
+from .necks.rpn import RPN
+from .readers.voxel_encoder import VoxelFeatureExtractorV3

@@ -1,0 +1,129 @@
+"""Config-driven model construction.
+
+Maps reference-style executable-python model configs
+(examples/active/cbgs_*.py ``model = dict(type="FPNVoxelNet", ...)``) onto the
+flax modules plus the static bundles (VoxelConfig, TaskAnchors, Loss/Test
+configs) the pure loss/predict functions need.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List
+
+from ..core.anchors import TaskAnchors, generate_task_anchors
+from ..core.box_coders import GroundBox3dCoder, build_box_coder
+from ..core.target_assigner import DeviceTargetAssigner
+from ..ops.voxelize import VoxelConfig
+from .heads.mg_head import LossConfig, TestConfig
+from .registry import DETECTORS
+
+
+@dataclass
+class DetectorBundle:
+    """Everything the train/predict steps need, built once from a config."""
+
+    model: Any  # flax module
+    voxel_cfg: VoxelConfig
+    task_anchors: List[TaskAnchors]
+    box_coder: GroundBox3dCoder
+    assigner: DeviceTargetAssigner
+    loss_cfg: LossConfig
+    test_cfg: TestConfig
+    num_classes: tuple
+    class_names: List[str]
+    max_points: int = 300000  # padded point-cloud capacity
+
+    @property
+    def num_tasks(self) -> int:
+        return len(self.task_anchors)
+
+
+def build_detector(cfg, train_cfg=None, test_cfg=None) -> DetectorBundle:
+    """cfg: full experiment Config (with model/tasks/voxel_generator/...)."""
+    model_cfg = dict(cfg.model)
+    model_type = model_cfg.pop("type")
+
+    vg = cfg.voxel_generator
+    voxel_cfg = VoxelConfig(
+        point_cloud_range=tuple(vg["range"]),
+        voxel_size=tuple(vg["voxel_size"]),
+        max_points_in_voxel=int(vg["max_points_in_voxel"]),
+        max_voxel_num=int(vg["max_voxel_num"]),
+    )
+
+    tasks = [dict(t) for t in cfg.tasks]
+    num_classes = tuple(int(t["num_class"]) for t in tasks)
+    class_names = [n for t in tasks for n in t["class_names"]]
+
+    box_coder = build_box_coder(dict(cfg.box_coder))
+
+    # feature map size: grid_xy / out_size_factor, as [D=1, H, W]
+    ds_factor = int(model_cfg.get("backbone", {}).get("ds_factor", 8))
+    nx, ny, _ = voxel_cfg.grid_size
+    feature_map_size = [1, ny // ds_factor, nx // ds_factor]
+    task_anchors = generate_task_anchors(
+        cfg.target_assigner["anchor_generators"], tasks, feature_map_size
+    )
+    assigner = DeviceTargetAssigner(task_anchors, box_coder)
+
+    head_cfg = model_cfg.get("bbox_head", {})
+    loss_cls = head_cfg.get("loss_cls", {})
+    loss_bbox = head_cfg.get("loss_bbox", {})
+    loss_norm = head_cfg.get("loss_norm", {})
+    loss_cfg = LossConfig(
+        pos_cls_weight=float(loss_norm.get("pos_cls_weight", 1.0)),
+        neg_cls_weight=float(loss_norm.get("neg_cls_weight", 1.0)),
+        focal_gamma=float(loss_cls.get("gamma", 2.0)),
+        focal_alpha=float(loss_cls.get("alpha", 0.25)),
+        cls_loss_weight=float(loss_cls.get("loss_weight", 1.0)),
+        loc_loss_weight=float(loss_bbox.get("loss_weight", 1.0)),
+        smooth_l1_sigma=float(loss_bbox.get("sigma", 3.0)),
+        code_weights=tuple(loss_bbox.get("code_weights", (1.0,) * box_coder.code_size)),
+        encode_rad_error_by_sin=bool(head_cfg.get("encode_rad_error_by_sin", False)),
+    )
+
+    tcfg = dict(test_cfg or cfg.get("test_cfg", {}) or {})
+    nms = dict(tcfg.get("nms", {}))
+    test_cfg_b = TestConfig(
+        nms_pre_max_size=int(nms.get("nms_pre_max_size", 1000)),
+        nms_post_max_size=int(nms.get("nms_post_max_size", 83)),
+        nms_iou_threshold=float(nms.get("nms_iou_threshold", 0.2)),
+        score_threshold=float(tcfg.get("score_threshold", 0.1)),
+        post_center_limit_range=tuple(
+            tcfg.get("post_center_limit_range", (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0))
+        ),
+        max_per_img=int(tcfg.get("max_per_img", 500)),
+        use_rotate_nms=bool(nms.get("use_rotate_nms", True)),
+    )
+
+    det_cls = DETECTORS.get(model_type)
+    if det_cls is None:
+        raise KeyError(f"unknown detector: {model_type}")
+    backbone_cfg = model_cfg.get("backbone", {})
+    reader_cfg = model_cfg.get("reader", {})
+    neck_cfg = model_cfg.get("neck", {}) or {}
+    model = det_cls(
+        voxel_cfg=voxel_cfg,
+        num_classes=num_classes,
+        code_size=box_coder.code_size,
+        num_input_features=int(reader_cfg.get("num_input_features", 5)),
+        voxel_caps=tuple(backbone_cfg.get("voxel_caps", (60000, 60000, 30000, 30000))),
+        rpn_layer_nums=tuple(neck_cfg.get("layer_nums", (5, 5))),
+        rpn_ds_strides=tuple(neck_cfg.get("ds_layer_strides", (1, 2))),
+        rpn_ds_filters=tuple(neck_cfg.get("ds_num_filters", (128, 256))),
+        rpn_us_strides=tuple(neck_cfg.get("us_layer_strides", (1, 2))),
+        rpn_us_filters=tuple(neck_cfg.get("us_num_filters", (256, 256))),
+    )
+
+    return DetectorBundle(
+        model=model,
+        voxel_cfg=voxel_cfg,
+        task_anchors=task_anchors,
+        box_coder=box_coder,
+        assigner=assigner,
+        loss_cfg=loss_cfg,
+        test_cfg=test_cfg_b,
+        num_classes=num_classes,
+        class_names=class_names,
+        max_points=int(cfg.get("max_points", 300000)),
+    )

@@ -1,0 +1,77 @@
+"""VoxelNet / FPNVoxelNet detectors (reference: det3d/models/detectors/
+voxelnet.py:8-118, single_stage.py:9).
+
+TPU-first design: the jitted forward consumes **padded raw points**
+[B, P, F] + validity and performs voxelize -> mean-VFE -> sparse backbone ->
+RPN -> multi-group head as ONE XLA program (the reference splits voxelization
+into CPU dataloader workers). The ``estimate`` contract of the reference
+(voxelnet.py:113-118, consumed by every model-based AL selector per
+SURVEY.md A.9) maps to the returned ``embedding`` (global-avg-pooled neck
+output, [B, 512]) and ``middle`` sparse pyramid.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops import sparse as sp
+from ...ops.voxelize import VoxelConfig, voxelize_mean
+from ..backbones.scn import FPNSpMiddleResNetFHD
+from ..heads.mg_head import MultiGroupHead
+from ..necks.rpn import RPN
+from ..registry import DETECTORS
+
+
+@DETECTORS.register_module
+class FPNVoxelNet(nn.Module):
+    voxel_cfg: VoxelConfig
+    num_classes: Sequence[int] = (1, 2, 2, 1, 2, 2)
+    code_size: int = 10
+    num_input_features: int = 5
+    voxel_caps: Tuple[int, ...] = (60000, 60000, 30000, 30000)
+    # RPN config (reference cbgs config values)
+    rpn_layer_nums: Tuple[int, ...] = (5, 5)
+    rpn_ds_strides: Tuple[int, ...] = (1, 2)
+    rpn_ds_filters: Tuple[int, ...] = (128, 256)
+    rpn_us_strides: Tuple[int, ...] = (1, 2)
+    rpn_us_filters: Tuple[int, ...] = (256, 256)
+    return_middle: bool = True
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, points_valid: jnp.ndarray, train: bool = False):
+        cfg = self.voxel_cfg
+        vox = jax.vmap(lambda p, v: voxelize_mean(p, v, cfg))(points, points_valid)
+        sb = sp.from_voxels(
+            vox["features"], vox["coordinates"], vox["voxel_valid"], cfg.sparse_shape
+        )
+        dense, middle = FPNSpMiddleResNetFHD(
+            num_input_features=self.num_input_features, voxel_caps=self.voxel_caps
+        )(sb, train)
+        neck = RPN(
+            layer_nums=self.rpn_layer_nums,
+            ds_layer_strides=self.rpn_ds_strides,
+            ds_num_filters=self.rpn_ds_filters,
+            us_layer_strides=self.rpn_us_strides,
+            us_num_filters=self.rpn_us_filters,
+            num_input_features=dense.shape[-1],
+        )(dense, train)
+        preds = MultiGroupHead(num_classes=tuple(self.num_classes), code_size=self.code_size)(neck)
+        out = {
+            "preds": preds,
+            "embedding": neck.mean(axis=(1, 2)),  # [B, 512] selector embedding
+            "num_voxels": vox["num_voxels"],
+        }
+        if self.return_middle:
+            out["middle"] = middle
+            out["neck_feat"] = neck
+        return out
+
+
+@DETECTORS.register_module
+class VoxelNet(FPNVoxelNet):
+    """Alias without the middle-feature outputs (reference voxelnet.py:8)."""
+
+    return_middle: bool = False

@@ -1,0 +1,184 @@
+"""CBGS multi-group (multi-task) detection head.
+
+Re-design of the reference MultiGroupHead (det3d/models/bbox_heads/mg_head.py:
+386-533 module, :535-695 loss, :697-1085 predict) as a thin flax module (one
+1x1 conv pair per task group) plus pure-function loss / predict paths that run
+fully on device with fixed shapes:
+
+- loss: focal cls + smooth-L1 reg with NormByNumPositives, summed over tasks,
+- predict: decode vs static anchors -> per-task score-threshold + rotated NMS
+  (fixed pre/post sizes) -> merge task groups with label offsets into padded
+  [max_dets] arrays (no host round-trip, no ragged tensors).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...core.anchors import TaskAnchors
+from ...core.box_coders import GroundBox3dCoder
+from ...core import box_ops_jax
+from ...ops.nms import rotate_nms
+from ..layers import kaiming_conv_init
+from ..losses.losses import prepare_loss_weights, sigmoid_focal_loss, weighted_smooth_l1
+from ..registry import HEADS
+
+
+@HEADS.register_module
+class MultiGroupHead(nn.Module):
+    """One (conv_box, conv_cls) 1x1 pair per task group; NHWC in/out."""
+
+    num_classes: Sequence[int]  # classes per task, e.g. (1, 2, 2, 1, 2, 2)
+    code_size: int = 10
+    num_rot: int = 2
+    encode_background_as_zeros: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> List[Dict[str, jnp.ndarray]]:
+        preds = []
+        for nc in self.num_classes:
+            num_a = nc * self.num_rot
+            box = nn.Conv(num_a * self.code_size, (1, 1), kernel_init=kaiming_conv_init(),
+                          name=None)(x)
+            ncls = num_a * (nc if self.encode_background_as_zeros else nc + 1)
+            cls = nn.Conv(ncls, (1, 1), kernel_init=kaiming_conv_init())(x)
+            preds.append({"box_preds": box, "cls_preds": cls})
+        return preds
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    pos_cls_weight: float = 1.0
+    neg_cls_weight: float = 2.0
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    cls_loss_weight: float = 1.0
+    loc_loss_weight: float = 0.25
+    smooth_l1_sigma: float = 3.0
+    code_weights: Tuple[float, ...] = (1.0,) * 10
+    use_code_weights: bool = False  # reference quirk: code weights disabled
+    encode_rad_error_by_sin: bool = False
+
+
+def multi_group_loss(
+    preds: List[Dict[str, jnp.ndarray]],
+    labels: List[jnp.ndarray],  # per task [B, A]
+    reg_targets: List[jnp.ndarray],  # per task [B, A, code]
+    num_classes: Sequence[int],
+    cfg: LossConfig = LossConfig(),
+) -> Dict[str, Any]:
+    """Total loss + per-task diagnostics (reference mg_head.py:580-695)."""
+    total = 0.0
+    logs: Dict[str, Any] = {"loc_loss": [], "cls_loss": [], "num_pos": []}
+    for t, pred in enumerate(preds):
+        nc = num_classes[t]
+        B = pred["box_preds"].shape[0]
+        code = reg_targets[t].shape[-1]
+        box_preds = pred["box_preds"].reshape(B, -1, code)
+        cls_preds = pred["cls_preds"].reshape(B, -1, nc)
+        lab = labels[t]
+
+        cls_weights, reg_weights, cared = prepare_loss_weights(
+            lab, cfg.pos_cls_weight, cfg.neg_cls_weight
+        )
+        cls_targets = (lab * cared).astype(jnp.int32)
+        one_hot = jax.nn.one_hot(cls_targets, nc + 1, dtype=box_preds.dtype)[..., 1:]
+
+        loc_loss = weighted_smooth_l1(
+            box_preds, reg_targets[t], reg_weights, cfg.smooth_l1_sigma,
+            cfg.code_weights, cfg.use_code_weights,
+        )
+        cls_loss = sigmoid_focal_loss(
+            cls_preds, one_hot, cls_weights, cfg.focal_gamma, cfg.focal_alpha
+        )
+        loc_reduced = loc_loss.sum() / B * cfg.loc_loss_weight
+        cls_reduced = cls_loss.sum() / B * cfg.cls_loss_weight
+        total = total + loc_reduced + cls_reduced
+        logs["loc_loss"].append(loc_reduced)
+        logs["cls_loss"].append(cls_reduced)
+        logs["num_pos"].append((lab > 0).sum())
+    logs["loss"] = total
+    return logs
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    __test__ = False  # not a pytest class
+    nms_pre_max_size: int = 1000
+    nms_post_max_size: int = 83
+    nms_iou_threshold: float = 0.2
+    score_threshold: float = 0.1
+    post_center_limit_range: Tuple[float, ...] = (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0)
+    max_per_img: int = 500
+    use_rotate_nms: bool = True
+
+
+def multi_group_predict(
+    preds: List[Dict[str, jnp.ndarray]],
+    task_anchors: List[TaskAnchors],
+    box_coder: GroundBox3dCoder,
+    cfg: TestConfig = TestConfig(),
+) -> Dict[str, jnp.ndarray]:
+    """Fixed-shape batched detection decoding (reference mg_head.py:697-1085,
+    single-class-agnostic NMS branch used by the CBGS configs).
+
+    Returns padded per-sample arrays:
+      box3d_lidar [B, D, 9], scores [B, D], label_preds [B, D] (global class
+      ids), det_valid [B, D] with D = num_tasks * nms_post_max_size.
+    """
+    all_boxes, all_scores, all_labels, all_valid = [], [], [], []
+    label_offset = 0
+    for t, pred in enumerate(preds):
+        ta = task_anchors[t]
+        nc = ta.num_classes
+        B = pred["box_preds"].shape[0]
+        code = box_coder.code_size
+        box_preds = pred["box_preds"].reshape(B, -1, code)
+        cls_preds = pred["cls_preds"].reshape(B, -1, nc)
+        anchors = jnp.asarray(ta.anchors)  # [A, 9]
+
+        decoded = box_coder.decode_jax(box_preds, anchors[None])  # [B, A, 9]
+        scores = jax.nn.sigmoid(cls_preds)
+        top_scores = scores.max(axis=-1) if nc > 1 else scores[..., 0]
+        top_labels = scores.argmax(axis=-1) if nc > 1 else jnp.zeros(scores.shape[:2], jnp.int32)
+        keep = top_scores >= cfg.score_threshold
+
+        def nms_one(boxes, sc, valid):
+            bev = boxes[:, jnp.array([0, 1, 3, 4, boxes.shape[1] - 1])]
+            idx, kv = rotate_nms(
+                bev, sc, valid,
+                pre_max_size=cfg.nms_pre_max_size,
+                post_max_size=cfg.nms_post_max_size,
+                iou_threshold=cfg.nms_iou_threshold,
+            )
+            return idx, kv
+
+        idx, kv = jax.vmap(nms_one)(decoded, top_scores, keep)
+        sel_boxes = jnp.take_along_axis(decoded, idx[..., None], axis=1)
+        sel_scores = jnp.take_along_axis(top_scores, idx, axis=1)
+        sel_labels = jnp.take_along_axis(top_labels, idx, axis=1) + label_offset
+
+        # post_center_range mask
+        pcr = jnp.asarray(cfg.post_center_limit_range)
+        in_range = jnp.all(sel_boxes[..., :3] >= pcr[:3], axis=-1) & jnp.all(
+            sel_boxes[..., :3] <= pcr[3:], axis=-1
+        )
+        kv = kv & in_range
+
+        all_boxes.append(sel_boxes)
+        all_scores.append(jnp.where(kv, sel_scores, 0.0))
+        all_labels.append(sel_labels)
+        all_valid.append(kv)
+        label_offset += nc
+
+    return {
+        "box3d_lidar": jnp.concatenate(all_boxes, axis=1),
+        "scores": jnp.concatenate(all_scores, axis=1),
+        "label_preds": jnp.concatenate(all_labels, axis=1).astype(jnp.int32),
+        "det_valid": jnp.concatenate(all_valid, axis=1),
+    }

@@ -68,6 +68,8 @@ class Config:
             spec = importlib.util.spec_from_file_location(module_name, filename)
             mod = importlib.util.module_from_spec(spec)
             sys.modules[module_name] = mod
+            cfg_dir = os.path.dirname(filename)
+            sys.path.insert(0, cfg_dir)  # allow `from _base import *` between configs
             try:
                 spec.loader.exec_module(mod)
                 cfg_dict = {
@@ -77,6 +79,10 @@ class Config:
                 }
             finally:
                 sys.modules.pop(module_name, None)
+                try:
+                    sys.path.remove(cfg_dir)
+                except ValueError:
+                    pass
         elif ext == ".json":
             with open(filename) as f:
                 cfg_dict = json.load(f)

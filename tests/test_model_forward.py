@@ -1,0 +1,121 @@
+"""End-to-end model slice: points -> voxelize -> backbone -> neck -> head ->
+loss / predict, on tiny shapes (CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dal3d_tpu.ops.voxelize import VoxelConfig
+from dal3d_tpu.core.anchors import generate_task_anchors
+from dal3d_tpu.core.box_coders import GroundBox3dCoder
+from dal3d_tpu.core.target_assigner import DeviceTargetAssigner
+from dal3d_tpu.models import FPNVoxelNet, multi_group_loss, multi_group_predict
+from dal3d_tpu.models.heads.mg_head import LossConfig, TestConfig
+
+VCFG = VoxelConfig(
+    point_cloud_range=(-8.0, -8.0, -3.0, 8.0, 8.0, 1.0),
+    voxel_size=(0.25, 0.25, 0.1),  # grid 64x64x40, sparse (41,64,64): same depth chain as production (21,11,5,2)
+    max_points_in_voxel=5,
+    max_voxel_num=2000,
+)
+NUM_CLASSES = (1, 2)
+GENS = [
+    dict(type="anchor_generator_range", sizes=[1.97, 4.63, 1.74],
+         anchor_ranges=[-8, -8, -0.95, 8, 8, -0.95], rotations=[0, 1.57], velocities=[0, 0],
+         matched_threshold=0.6, unmatched_threshold=0.45, class_name="car"),
+    dict(type="anchor_generator_range", sizes=[2.51, 6.93, 2.84],
+         anchor_ranges=[-8, -8, -0.4, 8, 8, -0.4], rotations=[0, 1.57], velocities=[0, 0],
+         matched_threshold=0.55, unmatched_threshold=0.4, class_name="truck"),
+    dict(type="anchor_generator_range", sizes=[0.6, 1.7, 1.28],
+         anchor_ranges=[-8, -8, -1.18, 8, 8, -1.18], rotations=[0, 1.57], velocities=[0, 0],
+         matched_threshold=0.5, unmatched_threshold=0.35, class_name="bicycle"),
+]
+TASKS = [dict(num_class=1, class_names=["car"]), dict(num_class=2, class_names=["truck", "bicycle"])]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = FPNVoxelNet(
+        voxel_cfg=VCFG, num_classes=NUM_CLASSES, voxel_caps=(2000, 1000, 500, 500),
+        rpn_ds_filters=(32, 64), rpn_us_filters=(64, 64),
+    )
+    B, P = 2, 4096
+    rng = np.random.RandomState(0)
+    pts = np.zeros((B, P, 5), np.float32)
+    pts[..., :2] = rng.uniform(-7.9, 7.9, (B, P, 2))
+    pts[..., 2] = rng.uniform(-2.9, 0.9, (B, P))
+    valid = np.ones((B, P), bool)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(pts), jnp.asarray(valid), False)
+    return model, variables, pts, valid
+
+
+def test_forward_shapes(setup):
+    model, variables, pts, valid = setup
+    out = model.apply(variables, jnp.asarray(pts), jnp.asarray(valid), False)
+    # ds_factor 8: 64/8 = 8
+    assert out["embedding"].shape == (2, 128)  # us_filters 64+64
+    assert out["neck_feat"].shape == (2, 8, 8, 128)
+    preds = out["preds"]
+    assert len(preds) == 2
+    # task 0: 1 class * 2 rot -> box 2*10=20ch, cls 2*1=2ch
+    assert preds[0]["box_preds"].shape == (2, 8, 8, 20)
+    assert preds[0]["cls_preds"].shape == (2, 8, 8, 2)
+    # task 1: 2 classes * 2 rot -> box 40, cls 4*2=8
+    assert preds[1]["box_preds"].shape == (2, 8, 8, 40)
+    assert preds[1]["cls_preds"].shape == (2, 8, 8, 8)
+    assert len(out["middle"]) == 4
+    assert np.isfinite(np.asarray(out["embedding"])).all()
+
+
+def test_loss_and_grad(setup):
+    model, variables, pts, valid = setup
+    coder = GroundBox3dCoder(vec_encode=True, n_dim=9)
+    tas = generate_task_anchors(GENS, TASKS, [1, 8, 8])
+    assigner = DeviceTargetAssigner(tas, coder)
+
+    B, G = 2, 8
+    gt = np.zeros((2, B, G, 9), np.float32)
+    gt[..., 3:6] = 1.0
+    gt[0, 0, 0] = [2, 3, -0.8, 1.9, 4.6, 1.7, 0, 0, 0.3]
+    cls = np.zeros((2, B, G), np.int32)
+    cls[0, 0, 0] = 1
+
+    def loss_fn(params, batch_stats):
+        out, new_state = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.asarray(pts), jnp.asarray(valid), True,
+            mutable=["batch_stats"],
+        )
+        labels, targets, _ = assigner.assign_all(
+            [jnp.asarray(gt[i]) for i in range(2)], [jnp.asarray(cls[i]) for i in range(2)]
+        )
+        logs = multi_group_loss(out["preds"], labels, targets, NUM_CLASSES, LossConfig())
+        return logs["loss"], (logs, new_state)
+
+    (loss, (logs, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"], variables["batch_stats"]
+    )
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert sum(float(np.abs(np.asarray(l)).sum()) for l in leaves) > 0
+    assert int(logs["num_pos"][0]) >= 1
+
+
+def test_predict_shapes(setup):
+    model, variables, pts, valid = setup
+    coder = GroundBox3dCoder(vec_encode=True, n_dim=9)
+    tas = generate_task_anchors(GENS, TASKS, [1, 8, 8])
+    out = model.apply(variables, jnp.asarray(pts), jnp.asarray(valid), False)
+    tcfg = TestConfig(nms_pre_max_size=64, nms_post_max_size=16, score_threshold=0.05,
+                      post_center_limit_range=(-10, -10, -5, 10, 10, 5))
+    dets = multi_group_predict(out["preds"], tas, coder, tcfg)
+    assert dets["box3d_lidar"].shape == (2, 32, 9)
+    assert dets["scores"].shape == (2, 32)
+    assert dets["label_preds"].shape == (2, 32)
+    # labels offset: task1 labels in {1, 2}
+    lab = np.asarray(dets["label_preds"])
+    vmask = np.asarray(dets["det_valid"])
+    if vmask[:, 16:].any():
+        assert set(lab[:, 16:][vmask[:, 16:]].tolist()) <= {1, 2}
+    assert np.isfinite(np.asarray(dets["box3d_lidar"])).all()

@@ -1,0 +1,185 @@
+"""Selector subsystem: k-center parity, buffer file contract, all selectors
+end-to-end on synthetic infos."""
+import json
+import os
+import pickle
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dal3d_tpu.ops.kcenter import kcenter_matrix, kcenter_numpy
+from dal3d_tpu.selectors import build_selector
+from dal3d_tpu.utils.fileio import dump, load
+
+N = 60
+
+
+def rand_dist(n, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, 3)
+    d = np.sqrt(((x[:, None] - x[None, :]) ** 2).sum(-1))
+    return d.astype(np.float32)
+
+
+def test_kcenter_device_matches_numpy():
+    d = rand_dist(N, 1)
+    costs = np.full(N, 0.2, np.float32)
+    budget = 4.0  # ~20 picks
+    first = np.int32(3)
+    already = np.zeros(N, bool)
+    init = np.full(N, np.inf, np.float32)
+    sel, count, cost = kcenter_matrix(
+        jnp.asarray(d), jnp.asarray(costs), jnp.asarray(np.float32(budget)),
+        jnp.asarray(init), jnp.asarray(first), jnp.asarray(already), max_select=N,
+    )
+    got = np.asarray(sel)[: int(count)].tolist()
+    ref, ref_cost = kcenter_numpy(d, costs, budget, init, 3, already)
+    assert got == ref
+    np.testing.assert_allclose(float(cost), ref_cost, rtol=1e-5)
+
+
+def test_kcenter_with_prior_selection():
+    d = rand_dist(N, 2)
+    costs = np.full(N, 0.25, np.float32)
+    already = np.zeros(N, bool)
+    already[[5, 10, 15]] = True
+    init = d[[5, 10, 15]].min(0)
+    first = int(np.argmax(np.where(already, -np.inf, init)))
+    sel, count, _ = kcenter_matrix(
+        jnp.asarray(d), jnp.asarray(costs), jnp.asarray(np.float32(3.0)),
+        jnp.asarray(init), jnp.asarray(np.int32(first)), jnp.asarray(already), max_select=N,
+    )
+    got = np.asarray(sel)[: int(count)].tolist()
+    ref, _ = kcenter_numpy(d, costs, 3.0, init, first, already)
+    assert got == ref
+    assert not set(got) & {5, 10, 15}
+
+
+@pytest.fixture()
+def synth_env(tmp_path):
+    """Synthetic infos + buffer + logs + scoring cache."""
+    from dal3d_tpu.data.datasets.synthetic import make_synthetic_nuscenes
+
+    root = str(tmp_path / "nusc")
+    info_path = make_synthetic_nuscenes(root, n_frames=30, n_logs=3, points_per_frame=100, seed=0)
+    buffer_file = str(tmp_path / "buffer.json")
+    dump({"0": []}, buffer_file)
+    # logs json (reference nuScenes log.json schema subset)
+    infos = load(info_path)
+    logfiles = sorted({i["cam_front_path"].split("/")[-1].split("__")[0] for i in infos})
+    logs = [{"logfile": lf, "location": "singapore-onenorth"} for lf in logfiles]
+    logs_file = str(tmp_path / "log.json")
+    dump(logs, logs_file)
+    # synthetic scoring cache
+    rng = np.random.RandomState(0)
+    npz = str(tmp_path / "pred.npz")
+    np.savez(
+        npz,
+        embedding=rng.randn(len(infos), 16).astype(np.float32),
+        score_entropy=rng.uniform(0.1, 0.6, len(infos)).astype(np.float32),
+        scores=rng.uniform(0.1, 0.9, (len(infos), 24)).astype(np.float32),
+        label_preds=rng.randint(0, 10, (len(infos), 24)),
+        det_valid=np.ones((len(infos), 24), bool),
+    )
+    return dict(info_path=info_path, buffer_file=buffer_file, logs_file=logs_file,
+                npz=npz, tmp=str(tmp_path), infos=infos)
+
+
+def _run(env, cfg, budget=6):
+    cfg = dict(cfg)
+    cfg.update(budget=budget, buffer_file=env["buffer_file"], infos_origin=env["info_path"])
+    sel = build_selector(cfg)
+    sel.select_samples()
+    sel.dump_file()
+    buffer = load(env["buffer_file"])
+    key = str(budget + 0)
+    assert key in buffer
+    chosen = buffer[key]
+    assert len(chosen) == len(set(chosen)) > 0
+    # cost accounting: total cost <= budget
+    cost = sum(0.12 + 0.04 * len(env["infos"][i]["gt_names"]) for i in chosen)
+    assert cost <= budget + 1e-6
+    # subset infos written
+    subset_path = env["info_path"].replace(".pkl", f"_{key}.pkl")
+    assert os.path.exists(subset_path)
+    assert len(load(subset_path)) == len(chosen)
+    return chosen
+
+
+def test_random_selector(synth_env):
+    _run(synth_env, dict(type="RandomSelector"))
+
+
+def test_temporal_selector(synth_env):
+    _run(synth_env, dict(type="TemporalSelector"))
+
+
+def test_spatial_selector(synth_env):
+    _run(synth_env, dict(
+        type="SpatialSelector", k=4, logs_file=synth_env["logs_file"],
+        distance_store_file=os.path.join(synth_env["tmp"], "dij.npy"),
+    ))
+
+
+def test_eu_spatial_selector(synth_env):
+    _run(synth_env, dict(type="EuSpatialSelector", logs_file=synth_env["logs_file"]))
+
+
+def test_spatial_temporal_selector(synth_env):
+    _run(synth_env, dict(
+        type="SpatialTemporalSelector", k=4, logs_file=synth_env["logs_file"],
+        distance_store_file=os.path.join(synth_env["tmp"], "dij2.npy"),
+        normalize="exp", lambda_t=1, aggregate="sum",
+    ))
+
+
+def test_feature_entropy_badge_uwe(synth_env):
+    for t in ("FeatureSelector", "EntropySelector", "BadgeSelector", "UWESelector"):
+        dump({"0": []}, synth_env["buffer_file"])
+        _run(synth_env, dict(type=t, pred_store_file=synth_env["npz"]))
+
+
+def test_ppal_selector(synth_env):
+    classes = ["car", "truck", "construction_vehicle", "bus", "trailer",
+               "barrier", "motorcycle", "bicycle", "pedestrian", "traffic_cone"]
+    diff_file = os.path.join(synth_env["tmp"], "diff.json")
+    dump({c: 1.0 + 0.1 * i for i, c in enumerate(classes)}, diff_file)
+    _run(synth_env, dict(type="PPALSelector", pred_store_file=synth_env["npz"],
+                         diff_file=diff_file, delta=1.5))
+
+
+def test_cald_selector(synth_env):
+    n = len(synth_env["infos"])
+    rng = np.random.RandomState(1)
+    order = rng.permutation(n).tolist()
+    sorted_idx_file = os.path.join(synth_env["tmp"], "cald_sorted.json")
+    dump(order, sorted_idx_file)
+    jsdiv_file = os.path.join(synth_env["tmp"], "jsdiv.pkl")
+    dump({i: float(rng.uniform()) for i in range(n)}, jsdiv_file)
+    _run(synth_env, dict(type="CaldSelector", sorted_idx_file=sorted_idx_file,
+                         jsdiv_file=jsdiv_file))
+
+
+def test_combo_selectors(synth_env):
+    for t in ("SpatialFeatureSelector", "SpatialTemporalFeatureSelector"):
+        dump({"0": []}, synth_env["buffer_file"])
+        _run(synth_env, dict(
+            type=t, k=4, logs_file=synth_env["logs_file"],
+            distance_store_file=os.path.join(synth_env["tmp"], f"dij_{t}.npy"),
+            pred_store_file=synth_env["npz"],
+        ))
+
+
+def test_round_accumulation(synth_env):
+    """Two AL rounds: second round's list contains the first's."""
+    r1 = _run(synth_env, dict(type="TemporalSelector"), budget=4)
+    cfg = dict(type="TemporalSelector", budget=4,
+               buffer_file=synth_env["buffer_file"], infos_origin=synth_env["info_path"])
+    sel = build_selector(cfg)
+    assert sel.current_budget == "8"
+    sel.select_samples()
+    sel.dump_file()
+    buffer = load(synth_env["buffer_file"])
+    assert set(r1) <= set(buffer["8"])
+    assert len(buffer["8"]) > len(r1)
