@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark: CBGS VoxelNet inference throughput (scans/sec/chip).
+
+Runs the full production-scale detection path — padded raw points ->
+on-device voxelize -> sparse SECOND backbone -> RPN -> multi-group head ->
+decode + rotated NMS — on the real chip and prints ONE json line.
+
+Baseline: the PyTorch reference runs CBGS VoxelNet inference at roughly
+20 scans/sec on a single A100-class GPU (SECOND/CBGS literature + reference
+benchmark harness bevfusion/tools/benchmark.py); BASELINE.md's target is
+>=2x A100 per chip, so vs_baseline = scans_per_sec / 20.0.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dal3d_tpu.utils.platform import setup_jax
+
+
+def main():
+    jax = setup_jax()
+    import numpy as np
+    import jax.numpy as jnp
+
+    from dal3d_tpu.core.anchors import generate_task_anchors
+    from dal3d_tpu.core.box_coders import GroundBox3dCoder
+    from dal3d_tpu.core.target_assigner import DeviceTargetAssigner
+    from dal3d_tpu.models import FPNVoxelNet
+    from dal3d_tpu.models.builder import DetectorBundle
+    from dal3d_tpu.models.heads.mg_head import LossConfig, TestConfig
+    from dal3d_tpu.runtime.steps import create_train_state, make_predict_step
+    from dal3d_tpu.solver.optim import OneCycleSchedule, build_optimizer
+    from dal3d_tpu.ops.voxelize import VoxelConfig
+    from dal3d_tpu.utils import Config
+
+    cfg = Config.fromfile(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       "configs", "cbgs_spatial_temporal.py"))
+    from dal3d_tpu.models.builder import build_detector
+
+    bundle = build_detector(cfg)
+
+    B, P = 2, 250_000
+    rng = np.random.RandomState(0)
+    pts = np.zeros((B, P, 5), np.float32)
+    pts[..., 0] = rng.uniform(-50, 50, (B, P))
+    pts[..., 1] = rng.uniform(-50, 50, (B, P))
+    pts[..., 2] = rng.uniform(-4.9, 2.9, (B, P))
+    pts[..., 3] = rng.uniform(0, 255, (B, P))
+    batch = {
+        "points": jnp.asarray(pts),
+        "points_valid": jnp.ones((B, P), bool),
+        "gt_boxes": [jnp.zeros((B, 8, 9), jnp.float32) + jnp.asarray([0, 0, 0, 1, 1, 1, 0, 0, 0.0])] * 6,
+        "gt_classes": [jnp.zeros((B, 8), jnp.int32)] * 6,
+    }
+    optimizer = build_optimizer(OneCycleSchedule(total_steps=100))
+    state = create_train_state(bundle, optimizer, jax.random.PRNGKey(0), batch)
+    predict = make_predict_step(bundle)
+    pb = {"points": batch["points"], "points_valid": batch["points_valid"]}
+
+    # warmup / compile
+    out = predict(state.params, state.batch_stats, pb)
+    jax.block_until_ready(out["scores"])
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = predict(state.params, state.batch_stats, pb)
+        jax.block_until_ready(out["scores"])
+    dt = (time.perf_counter() - t0) / n_iter
+    scans_per_sec = B / dt
+
+    print(json.dumps({
+        "metric": "cbgs_voxelnet_inference_throughput",
+        "value": round(scans_per_sec, 3),
+        "unit": "scans/sec/chip",
+        "vs_baseline": round(scans_per_sec / 20.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,7 @@ def make_synthetic_nuscenes(
     classes: Optional[List[str]] = None,
     seed: int = 0,
     split: str = "train",
+    range_xy: float = 45.0,
 ) -> str:
     """Returns the written infos pkl path."""
     rng = np.random.RandomState(seed)
@@ -53,8 +54,8 @@ def make_synthetic_nuscenes(
         # points: ground plane + object clusters, stored as [N, 5] float32
         n_bg = points_per_frame
         pts = np.zeros((n_bg, 5), np.float32)
-        pts[:, 0] = rng.uniform(-50, 50, n_bg)
-        pts[:, 1] = rng.uniform(-50, 50, n_bg)
+        pts[:, 0] = rng.uniform(-range_xy - 5, range_xy + 5, n_bg)
+        pts[:, 1] = rng.uniform(-range_xy - 5, range_xy + 5, n_bg)
         pts[:, 2] = rng.uniform(-1.8, -1.5, n_bg)
         pts[:, 3] = rng.uniform(0, 255, n_bg)
 
@@ -63,7 +64,7 @@ def make_synthetic_nuscenes(
         for b in range(n_box):
             cname = classes[rng.randint(len(classes))]
             w, l, h = _SIZES[cname]
-            cx, cy = rng.uniform(-40, 40, 2)
+            cx, cy = rng.uniform(-range_xy, range_xy, 2)
             cz = -1.6
             yaw = rng.uniform(-np.pi, np.pi)
             vx, vy = rng.uniform(-2, 2, 2)

@@ -86,6 +86,7 @@ class Trainer:
         rank, _ = get_dist_info()
         for i, batch in enumerate(loader):
             data_time = time.perf_counter() - t_data
+            batch = {k: v for k, v in batch.items() if k != "metadata"}
             if self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
             self.state, logs = self.train_step(self.state, batch)
