@@ -199,7 +199,12 @@ class DataBaseSamplerV2:
 
         yaw = boxes[:, -1]
         corners = box_np_ops.center_to_corner_box2d(boxes[:, 0:2], boxes[:, 3:5], yaw)
-        coll_mat = box_collision_test(corners, corners)
+        from ..native import host_ops
+
+        if host_ops.available():
+            coll_mat = host_ops.box_collision_test(corners, corners)
+        else:
+            coll_mat = box_collision_test(corners, corners)
         diag = np.arange(boxes.shape[0])
         coll_mat[diag, diag] = False
 

@@ -21,7 +21,7 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops import sparse as sp
+from ...ops import sparse_backend as sp
 from ..layers import MaskedBatchNorm, SparseConvDown, SubMConv
 from ..registry import BACKBONES
 

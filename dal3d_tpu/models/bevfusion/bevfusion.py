@@ -1,0 +1,94 @@
+"""BEVFusion camera+lidar fusion detector.
+
+Re-design of bevfusion/mmdet3d/models/fusion_models/bevfusion.py:25-305:
+camera branch (Swin-T -> GeneralizedLSSFPN -> DepthLSSTransform) and lidar
+branch (on-device voxelize -> SparseEncoder) produce BEV maps, fused by
+ConvFuser, decoded by SECOND + SECONDFPN, detected by TransFusionHead.
+The lidar-only TransFusion-L configuration drops the camera branch.
+One jitted XLA program; voxelization is the sort-free grid path.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops import sparse_backend as sp
+from ...ops.voxelize import VoxelConfig, voxelize_mean_grid
+from ..registry import DETECTORS
+from .lss_fpn import GeneralizedLSSFPN
+from .second import SECOND, SECONDFPN, ConvFuser
+from .sparse_encoder import SparseEncoder
+from .swin import SwinTransformer
+from .transfusion import TransFusionHead
+from .vtransforms import DepthLSSTransform
+
+
+@DETECTORS.register_module
+class BEVFusion(nn.Module):
+    voxel_cfg: VoxelConfig
+    with_camera: bool = True
+    num_classes: int = 10
+    num_proposals: int = 200
+    camera_out_channels: int = 80
+    image_size: Tuple[int, int] = (256, 704)
+    feature_size: Tuple[int, int] = (32, 88)
+    decoder_channels: Tuple[int, ...] = (128, 256)
+    voxel_caps: Tuple[int, ...] = (120000, 60000, 30000, 30000)
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        feats = []
+
+        # ---- lidar branch ----
+        cfg = self.voxel_cfg
+        vox = jax.vmap(lambda p, v: voxelize_mean_grid(p, v, cfg))(
+            batch["points"], batch["points_valid"]
+        )
+        sb = sp.from_voxels(vox["features"], vox["coordinates"], vox["voxel_valid"], cfg.sparse_shape)
+        lidar_bev = SparseEncoder(voxel_caps=self.voxel_caps)(sb, train)  # [B, H/8, W/8, 256]
+        feats.append(lidar_bev)
+
+        # ---- camera branch ----
+        if self.with_camera and "images" in batch:
+            imgs = batch["images"]  # [B, N, iH, iW, 3]
+            B, N = imgs.shape[:2]
+            x = imgs.reshape(B * N, *imgs.shape[2:])
+            stages = SwinTransformer()(x, train)  # 3 maps: /8, /16, /32
+            fpn = GeneralizedLSSFPN(out_channels=256, num_outs=1)(stages, train)
+            cam_feat = fpn[0]
+            fH, fW = cam_feat.shape[1:3]
+            cam_feat = cam_feat.reshape(B, N, fH, fW, -1)
+            cam_bev = DepthLSSTransform(
+                in_channels=256,
+                out_channels=self.camera_out_channels,
+                image_size=self.image_size,
+                feature_size=(fH, fW),
+            )(
+                cam_feat,
+                batch["depth_images"],
+                batch["camera2lidar_rots"],
+                batch["camera2lidar_trans"],
+                batch["camera_intrinsics"],
+                batch["img_aug_rots"],
+                batch["img_aug_trans"],
+                train,
+            )
+            # align to the lidar BEV resolution
+            if cam_bev.shape[1:3] != lidar_bev.shape[1:3]:
+                cam_bev = jax.image.resize(
+                    cam_bev,
+                    (cam_bev.shape[0], *lidar_bev.shape[1:3], cam_bev.shape[-1]),
+                    method="bilinear",
+                )
+            feats.insert(0, cam_bev)
+
+        fused = ConvFuser(out_channels=256)(feats, train) if len(feats) > 1 else feats[0]
+        stages = SECOND(out_channels=self.decoder_channels)(fused, train)
+        bev = SECONDFPN(out_channels=(256, 256))(stages, train)
+        preds = TransFusionHead(
+            num_classes=self.num_classes, num_proposals=self.num_proposals
+        )(bev, train)
+        return preds

@@ -1,0 +1,254 @@
+"""TransFusion detection head.
+
+Re-design of bevfusion/mmdet3d/models/heads/bbox/transfusion.py:37-851:
+- dense heatmap on the fused BEV map; class-aware local-maximum NMS
+  (3x3 max-pool equality) + top-``num_proposals`` query initialization
+  (:236-279) — fixed-shape top_k, no dynamic filtering,
+- one transformer decoder layer: query self-attention + cross-attention to
+  the flattened BEV map with learned positional encodings,
+- FFN prediction branches per box parameter (center/height/dim/rot/vel/
+  heatmap),
+- training: Hungarian assignment on a (focal-cls + L1-reg) cost via
+  scipy through jax.pure_callback (the [proposals, G] problem is tiny),
+  then focal cls + L1 reg + gaussian-focal heatmap losses,
+- inference: decode to padded detections.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..layers import BatchNorm2d, kaiming_conv_init
+from ..losses.losses import sigmoid_focal_loss
+
+
+class FFN(nn.Module):
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):  # [B, P, C]
+        x = nn.Dense(self.hidden)(x)
+        x = nn.relu(x)
+        return nn.Dense(self.out)(x)
+
+
+class DecoderLayer(nn.Module):
+    dim: int = 128
+    heads: int = 8
+    ffn_dim: int = 256
+
+    @nn.compact
+    def __call__(self, q, q_pos, kv, kv_pos):
+        """q [B,P,C], kv [B,HW,C] with positional encodings added to q/k."""
+        sa = nn.MultiHeadDotProductAttention(num_heads=self.heads)(
+            q + q_pos, q + q_pos, q
+        )
+        q = nn.LayerNorm()(q + sa)
+        ca = nn.MultiHeadDotProductAttention(num_heads=self.heads)(
+            q + q_pos, kv + kv_pos, kv
+        )
+        q = nn.LayerNorm()(q + ca)
+        y = nn.Dense(self.ffn_dim)(q)
+        y = nn.relu(y)
+        y = nn.Dense(self.dim)(y)
+        return nn.LayerNorm()(q + y)
+
+
+class TransFusionHead(nn.Module):
+    num_classes: int = 10
+    num_proposals: int = 200
+    hidden_channel: int = 128
+    num_heads: int = 8
+    code_size: int = 10  # x,y offset(2) + height(1) + dim(3) + rot(2) + vel(2)
+
+    @nn.compact
+    def __call__(self, bev, train: bool = False):
+        """bev [B, H, W, C] -> dict of per-proposal predictions + heatmap."""
+        B, H, W, C = bev.shape
+        P, nc, d = self.num_proposals, self.num_classes, self.hidden_channel
+
+        x = nn.Conv(d, (3, 3), padding=1, use_bias=False, kernel_init=kaiming_conv_init())(bev)
+        x = nn.relu(BatchNorm2d()(x, train))
+
+        # dense heatmap (class-aware)
+        h = nn.Conv(d, (3, 3), padding=1, kernel_init=kaiming_conv_init())(x)
+        h = nn.relu(BatchNorm2d()(h, train))
+        heatmap = nn.Conv(nc, (3, 3), padding=1, kernel_init=kaiming_conv_init())(h)
+
+        # query init: local-max NMS + top-P over (class, y, x)
+        prob = jax.nn.sigmoid(heatmap)
+        pooled = nn.max_pool(prob, (3, 3), strides=(1, 1), padding="SAME")
+        local_max = jnp.where(prob == pooled, prob, 0.0)
+        flat = local_max.reshape(B, H * W * nc)
+        top_scores, top_idx = jax.lax.top_k(flat, P)  # [B, P]
+        cls_id = top_idx % nc
+        pix = top_idx // nc
+        qy, qx = pix // W, pix % W
+
+        feat_flat = x.reshape(B, H * W, d)
+        q_feat = jnp.take_along_axis(feat_flat, pix[..., None], axis=1)  # [B,P,d]
+        cls_emb = nn.Embed(nc, d, name="class_encoding")(cls_id)
+        q_feat = q_feat + cls_emb
+
+        # positional encodings
+        pos_mlp = nn.Dense(d, name="query_pos")
+        q_pos = pos_mlp(jnp.stack([qx, qy], axis=-1).astype(jnp.float32))
+        yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+        kv_pos = pos_mlp(
+            jnp.stack([xx, yy], axis=-1).reshape(1, H * W, 2).astype(jnp.float32)
+        )
+        kv_pos = jnp.broadcast_to(kv_pos, (B, H * W, d))
+
+        q = DecoderLayer(d, self.num_heads)(q_feat, q_pos, feat_flat, kv_pos)
+
+        # prediction FFNs (reference: center, height, dim, rot, vel, heatmap)
+        center = FFN(d, 2)(q)  # offset from the query pixel
+        height = FFN(d, 1)(q)
+        dim = FFN(d, 3)(q)
+        rot = FFN(d, 2)(q)
+        vel = FFN(d, 2)(q)
+        cls_logits = FFN(d, nc)(q)
+        return {
+            "center": center + jnp.stack([qx, qy], -1).astype(jnp.float32),
+            "height": height,
+            "dim": dim,
+            "rot": rot,
+            "vel": vel,
+            "cls_logits": cls_logits,
+            "heatmap": heatmap,
+            "query_labels": cls_id,
+            "query_score": top_scores,
+        }
+
+
+@dataclass(frozen=True)
+class TransFusionTestCfg:
+    out_size_factor: int = 8
+    voxel_size: Tuple[float, float] = (0.075, 0.075)
+    pc_range: Tuple[float, float] = (-54.0, -54.0)
+    score_threshold: float = 0.0
+    max_detections: int = 200
+
+
+def transfusion_decode(preds: Dict[str, jnp.ndarray], cfg: TransFusionTestCfg):
+    """Decode proposals to lidar-frame boxes [B, P, 9] + scores/labels
+    (reference get_bboxes :715-780)."""
+    vx, vy = cfg.voxel_size
+    f = cfg.out_size_factor
+    cx = preds["center"][..., 0] * f * vx + cfg.pc_range[0]
+    cy = preds["center"][..., 1] * f * vy + cfg.pc_range[1]
+    w, l, h = (jnp.exp(preds["dim"][..., i]) for i in range(3))
+    yaw = jnp.arctan2(preds["rot"][..., 1], preds["rot"][..., 0])
+    z = preds["height"][..., 0]
+    boxes = jnp.stack(
+        [cx, cy, z, w, l, h, preds["vel"][..., 0], preds["vel"][..., 1], yaw], axis=-1
+    )
+    probs = jax.nn.sigmoid(preds["cls_logits"])
+    scores = probs.max(-1) * preds["query_score"]
+    labels = probs.argmax(-1)
+    valid = scores > cfg.score_threshold
+    return {"box3d_lidar": boxes, "scores": scores, "label_preds": labels, "det_valid": valid}
+
+
+def _hungarian_np(cost: np.ndarray, n_valid_gt: np.ndarray) -> np.ndarray:
+    """cost [P, G] -> assigned gt index per proposal (-1 unassigned)."""
+    from scipy.optimize import linear_sum_assignment
+
+    P, G = cost.shape
+    g = int(n_valid_gt)
+    out = np.full(P, -1, np.int32)
+    if g > 0:
+        row, col = linear_sum_assignment(cost[:, :g])
+        out[row] = col
+    return out
+
+
+def transfusion_loss(
+    preds: Dict[str, jnp.ndarray],
+    gt_boxes: jnp.ndarray,  # [B, G, 9] padded (lidar frame)
+    gt_classes: jnp.ndarray,  # [B, G] 1-based global; 0 pad
+    cfg: TransFusionTestCfg,
+    cls_weight: float = 1.0,
+    bbox_weight: float = 0.25,
+    heatmap_weight: float = 1.0,
+):
+    """Hungarian-matched losses (reference :588-714, simplified cost =
+    focal-cls + L1 on encoded boxes)."""
+    dec = transfusion_decode(preds, cfg)
+    boxes = dec["box3d_lidar"]  # [B, P, 9]
+    B, P = boxes.shape[:2]
+    G = gt_boxes.shape[1]
+    nc = preds["cls_logits"].shape[-1]
+
+    probs = jax.nn.sigmoid(preds["cls_logits"])  # [B, P, nc]
+    gt_valid = gt_classes > 0
+    # cost: -prob[gt class] + L1(center)
+    gcls = jnp.clip(gt_classes - 1, 0, nc - 1)
+    cls_cost = -jnp.take_along_axis(
+        probs[:, :, None, :], jnp.broadcast_to(gcls[:, None, :, None], (B, P, G, 1)), axis=-1
+    )[..., 0]
+    reg_cost = jnp.abs(boxes[:, :, None, :2] - gt_boxes[:, None, :, :2]).sum(-1)
+    cost = cls_cost * 15.0 + reg_cost
+    cost = jnp.where(gt_valid[:, None, :], cost, 1e6)
+
+    assign = jax.pure_callback(
+        lambda c, n: np.stack([_hungarian_np(c[b], n[b]) for b in range(c.shape[0])]),
+        jax.ShapeDtypeStruct((B, P), np.int32),
+        cost, gt_valid.sum(-1),
+    )
+    matched = assign >= 0
+    tgt_boxes = jnp.take_along_axis(gt_boxes, jnp.maximum(assign, 0)[..., None], axis=1)
+    tgt_cls = jnp.take_along_axis(gt_classes, jnp.maximum(assign, 0), axis=1)  # 1-based
+
+    # classification: focal, matched -> gt class, unmatched -> background
+    one_hot = jax.nn.one_hot(jnp.where(matched, tgt_cls - 1, nc), nc + 1)[..., :nc]
+    cls_loss = sigmoid_focal_loss(
+        preds["cls_logits"], one_hot, jnp.ones((B, P)), gamma=2.0, alpha=0.25
+    ).sum() / jnp.maximum(matched.sum(), 1)
+
+    # regression L1 on raw targets (center/dim-log/height/rot/vel)
+    tgt = jnp.concatenate(
+        [
+            (tgt_boxes[..., :2] - jnp.asarray(cfg.pc_range)) / (
+                cfg.out_size_factor * jnp.asarray(cfg.voxel_size)
+            ),
+            tgt_boxes[..., 2:3],
+            jnp.log(jnp.maximum(tgt_boxes[..., 3:6], 1e-3)),
+            jnp.cos(tgt_boxes[..., 8:9]),
+            jnp.sin(tgt_boxes[..., 8:9]),
+            tgt_boxes[..., 6:8],
+        ],
+        axis=-1,
+    )
+    pred_vec = jnp.concatenate(
+        [preds["center"], preds["height"], preds["dim"], preds["rot"], preds["vel"]], axis=-1
+    )
+    reg_loss = (jnp.abs(pred_vec - tgt) * matched[..., None]).sum() / jnp.maximum(
+        matched.sum(), 1
+    )
+
+    # heatmap gaussian-focal (simplified: focal vs. scattered gt centers)
+    hm = preds["heatmap"]
+    Hh, Wh = hm.shape[1:3]
+    gx = ((gt_boxes[..., 0] - cfg.pc_range[0]) / (cfg.out_size_factor * cfg.voxel_size[0])).astype(jnp.int32)
+    gy = ((gt_boxes[..., 1] - cfg.pc_range[1]) / (cfg.out_size_factor * cfg.voxel_size[1])).astype(jnp.int32)
+    inb = gt_valid & (gx >= 0) & (gx < Wh) & (gy >= 0) & (gy < Hh)
+    lin = jnp.where(inb, (gy * Wh + gx) * nc + gcls, Hh * Wh * nc)
+
+    def scat(l):
+        return jnp.zeros((Hh * Wh * nc + 1,)).at[l].max(1.0, mode="drop")[:-1]
+
+    target_hm = jax.vmap(scat)(lin).reshape(B, Hh, Wh, nc)
+    hm_loss = sigmoid_focal_loss(
+        hm.reshape(B, -1, nc), target_hm.reshape(B, -1, nc), jnp.ones((B, Hh * Wh))
+    ).sum() / jnp.maximum(inb.sum(), 1)
+
+    total = cls_weight * cls_loss + bbox_weight * reg_loss + heatmap_weight * hm_loss
+    return {"loss": total, "cls_loss": cls_loss, "reg_loss": reg_loss, "heatmap_loss": hm_loss,
+            "num_matched": matched.sum()}

@@ -17,8 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops import sparse as sp
-from ...ops.voxelize import VoxelConfig, voxelize_mean
+from ...ops import sparse_backend as sp
+from ...ops.voxelize import VoxelConfig, voxelize_mean, voxelize_mean_grid
 from ..backbones.scn import FPNSpMiddleResNetFHD
 from ..heads.mg_head import MultiGroupHead
 from ..necks.rpn import RPN
@@ -39,11 +39,14 @@ class FPNVoxelNet(nn.Module):
     rpn_us_strides: Tuple[int, ...] = (1, 2)
     rpn_us_filters: Tuple[int, ...] = (256, 256)
     return_middle: bool = True
+    # dense-grid voxelizer (no device sorts; see ops.voxelize.voxelize_mean_grid)
+    sort_free_voxelize: bool = True
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, points_valid: jnp.ndarray, train: bool = False):
         cfg = self.voxel_cfg
-        vox = jax.vmap(lambda p, v: voxelize_mean(p, v, cfg))(points, points_valid)
+        vox_fn = voxelize_mean_grid if self.sort_free_voxelize else voxelize_mean
+        vox = jax.vmap(lambda p, v: vox_fn(p, v, cfg))(points, points_valid)
         sb = sp.from_voxels(
             vox["features"], vox["coordinates"], vox["voxel_valid"], cfg.sparse_shape
         )

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.sparse import SparseBatch
+from ..ops.sparse_backend import SparseBatch
 
 
 class MaskedBatchNorm(nn.Module):
@@ -79,7 +79,7 @@ class SubMConv(nn.Module):
 
     @nn.compact
     def __call__(self, sb: SparseBatch, rulebook) -> SparseBatch:
-        from ..ops import sparse as sp
+        from ..ops import sparse_backend as sp
 
         K = rulebook[0].shape[1]
         cin = sb.features.shape[-1]
@@ -103,7 +103,7 @@ class SparseConvDown(nn.Module):
 
     @nn.compact
     def __call__(self, sb: SparseBatch) -> SparseBatch:
-        from ..ops import sparse as sp
+        from ..ops import sparse_backend as sp
         import numpy as np
 
         K = int(np.prod(self.kernel_size))

@@ -1,0 +1,119 @@
+"""ctypes bindings for the native host ops, with numpy fallbacks.
+
+Replaces the reference's pybind11/torch-extension host kernels
+(det3d/ops/point_cloud/point_cloud_ops.cc, det3d/ops/nms/nms.cc, numba
+box_collision_test). Auto-builds on first use when a toolchain is present.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "libdal3d_host.so")
+    if not os.path.exists(path):
+        try:
+            from .build import build
+
+            build(verbose=False)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    i64, i32, f32p, i32p, u8p = (
+        ctypes.c_int64, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.float32, flags="C"),
+        np.ctypeslib.ndpointer(np.int32, flags="C"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C"),
+    )
+    lib.points_to_voxel.restype = ctypes.c_int
+    lib.points_to_voxel.argtypes = [f32p, i64, i32, f32p, f32p, i32p, i32, i32, f32p, i32p, i32p]
+    lib.box_collision_test.restype = None
+    lib.box_collision_test.argtypes = [f32p, i64, f32p, i64, u8p]
+    lib.rotate_nms_cpu.restype = None
+    lib.rotate_nms_cpu.argtypes = [f32p, i64, ctypes.c_float, u8p]
+    lib.kcenter_greedy.restype = ctypes.c_int
+    lib.kcenter_greedy.argtypes = [f32p, i64, f32p, ctypes.c_float, f32p, i32, u8p, i32p, i32]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def points_to_voxel(points, voxel_size, point_cloud_range, max_points, max_voxels):
+    """Native hard voxelizer; same contract as core.voxel_generator.points_to_voxel."""
+    lib = _load()
+    if lib is None:
+        from ..core.voxel_generator import points_to_voxel as np_impl
+
+        return np_impl(points, voxel_size, point_cloud_range, max_points, max_voxels)
+    points = np.ascontiguousarray(points, np.float32)
+    vs = np.ascontiguousarray(voxel_size, np.float32)
+    pcr = np.asarray(point_cloud_range, np.float32)
+    grid = np.round((pcr[3:] - pcr[:3]) / vs).astype(np.int32)
+    voxels = np.zeros((max_voxels, max_points, points.shape[1]), np.float32)
+    coords = np.zeros((max_voxels, 3), np.int32)
+    npv = np.zeros((max_voxels,), np.int32)
+    n = lib.points_to_voxel(
+        points, points.shape[0], points.shape[1], vs,
+        np.ascontiguousarray(pcr[:3]), np.ascontiguousarray(grid),
+        max_points, max_voxels, voxels, coords, npv,
+    )
+    return voxels[:n], coords[:n], npv[:n]
+
+
+def box_collision_test(corners_a, corners_b):
+    lib = _load()
+    if lib is None:
+        from ..data.sampler import box_collision_test as np_impl
+
+        return np_impl(corners_a, corners_b)
+    a = np.ascontiguousarray(corners_a, np.float32)
+    b = np.ascontiguousarray(corners_b, np.float32)
+    out = np.zeros((a.shape[0] * b.shape[0],), np.uint8)
+    lib.box_collision_test(a, a.shape[0], b, b.shape[0], out)
+    return out.reshape(a.shape[0], b.shape[0]).astype(bool)
+
+
+def rotate_nms_cpu(corners_sorted, iou_threshold: float):
+    """corners [n,4,2] in descending-score order -> keep bool [n]."""
+    lib = _load()
+    c = np.ascontiguousarray(corners_sorted, np.float32)
+    n = c.shape[0]
+    if lib is None:
+        raise RuntimeError("native lib unavailable; use ops.nms.rotate_nms on device")
+    keep = np.zeros((n,), np.uint8)
+    lib.rotate_nms_cpu(c, n, float(iou_threshold), keep)
+    return keep.astype(bool)
+
+
+def kcenter_greedy(dist, frame_costs, budget, init_fps, first_idx, already, max_select):
+    lib = _load()
+    if lib is None:
+        from ..ops.kcenter import kcenter_numpy
+
+        sel, cost = kcenter_numpy(dist, frame_costs, budget, init_fps, first_idx, already)
+        return sel
+    d = np.ascontiguousarray(dist, np.float32)
+    sel = np.zeros((max_select,), np.int32)
+    n = lib.kcenter_greedy(
+        d, d.shape[0], np.ascontiguousarray(frame_costs, np.float32), float(budget),
+        np.ascontiguousarray(init_fps, np.float32), int(first_idx),
+        np.ascontiguousarray(already, np.uint8).astype(np.uint8), sel, int(max_select),
+    )
+    return sel[:n].tolist()

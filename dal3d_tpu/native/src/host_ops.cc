@@ -1,0 +1,222 @@
+// Native host-side ops for the dal3d data pipeline and tooling.
+//
+// The reference implements these as C++/CUDA extensions (det3d/ops/point_cloud/
+// point_cloud_ops.cc points_to_voxel; det3d/ops/nms/nms.cc
+// rotate_non_max_suppression_cpu; the numba box_collision_test in
+// det3d/core/sampler/preprocess.py:877). Here the device path is XLA/Pallas;
+// these C++ kernels serve the *host* side: GT-AUG collision tests and
+// voxelization inside data workers, plus rotated NMS / k-center for offline
+// tooling. Exposed via a plain C ABI and loaded with ctypes (no pybind11).
+//
+// Build: python -m dal3d_tpu.native.build  (g++ -O3 -shared -fPIC)
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Hard voxelization (first-appearance order, first-K points per voxel).
+// points: [n_points, n_feat] float32 (x,y,z first)
+// outputs: voxels [max_voxels, max_points, n_feat], coords [max_voxels,3](zyx)
+//          num_points_per_voxel [max_voxels]
+// returns: number of voxels written
+int points_to_voxel(const float* points, int64_t n_points, int n_feat,
+                    const float* voxel_size, const float* range_min,
+                    const int* grid_size, int max_points, int max_voxels,
+                    float* voxels, int32_t* coords, int32_t* num_points_per_voxel) {
+  const int nx = grid_size[0], ny = grid_size[1], nz = grid_size[2];
+  std::unordered_map<int64_t, int> voxel_of;
+  voxel_of.reserve(static_cast<size_t>(max_voxels) * 2);
+  int n_voxels = 0;
+  for (int64_t p = 0; p < n_points; ++p) {
+    const float* pt = points + p * n_feat;
+    int ix = static_cast<int>(std::floor((pt[0] - range_min[0]) / voxel_size[0]));
+    int iy = static_cast<int>(std::floor((pt[1] - range_min[1]) / voxel_size[1]));
+    int iz = static_cast<int>(std::floor((pt[2] - range_min[2]) / voxel_size[2]));
+    if (ix < 0 || ix >= nx || iy < 0 || iy >= ny || iz < 0 || iz >= nz) continue;
+    int64_t key = (static_cast<int64_t>(iz) * ny + iy) * nx + ix;
+    auto it = voxel_of.find(key);
+    int v;
+    if (it == voxel_of.end()) {
+      if (n_voxels >= max_voxels) continue;
+      v = n_voxels++;
+      voxel_of.emplace(key, v);
+      coords[v * 3 + 0] = iz;
+      coords[v * 3 + 1] = iy;
+      coords[v * 3 + 2] = ix;
+      num_points_per_voxel[v] = 0;
+    } else {
+      v = it->second;
+    }
+    int n = num_points_per_voxel[v];
+    if (n < max_points) {
+      std::memcpy(voxels + (static_cast<int64_t>(v) * max_points + n) * n_feat, pt,
+                  sizeof(float) * n_feat);
+      num_points_per_voxel[v] = n + 1;
+    }
+  }
+  return n_voxels;
+}
+
+// ---------------------------------------------------------------------------
+// BEV convex-quad collision matrix (GT-AUG paste rejection).
+// corners_a [na,4,2], corners_b [nb,4,2] -> out [na*nb] uint8
+static inline float cross2(float ox, float oy, float px, float py, float qx, float qy) {
+  return (px - ox) * (qy - oy) - (py - oy) * (qx - ox);
+}
+
+static bool quad_overlap(const float* a, const float* b) {
+  // standup prefilter
+  float ax0 = 1e30f, ay0 = 1e30f, ax1 = -1e30f, ay1 = -1e30f;
+  float bx0 = 1e30f, by0 = 1e30f, bx1 = -1e30f, by1 = -1e30f;
+  for (int i = 0; i < 4; ++i) {
+    ax0 = std::min(ax0, a[i * 2]); ay0 = std::min(ay0, a[i * 2 + 1]);
+    ax1 = std::max(ax1, a[i * 2]); ay1 = std::max(ay1, a[i * 2 + 1]);
+    bx0 = std::min(bx0, b[i * 2]); by0 = std::min(by0, b[i * 2 + 1]);
+    bx1 = std::max(bx1, b[i * 2]); by1 = std::max(by1, b[i * 2 + 1]);
+  }
+  if (ax1 <= bx0 || bx1 <= ax0 || ay1 <= by0 || by1 <= ay0) return false;
+  // vertex containment (either direction)
+  for (int pass = 0; pass < 2; ++pass) {
+    const float* P = pass ? b : a;
+    const float* Q = pass ? a : b;
+    for (int i = 0; i < 4; ++i) {
+      float px = P[i * 2], py = P[i * 2 + 1];
+      bool all_pos = true, all_neg = true;
+      for (int e = 0; e < 4; ++e) {
+        float s = cross2(Q[e * 2], Q[e * 2 + 1], Q[((e + 1) & 3) * 2],
+                         Q[((e + 1) & 3) * 2 + 1], px, py);
+        all_pos &= (s >= 0); all_neg &= (s <= 0);
+      }
+      if (all_pos || all_neg) return true;
+    }
+  }
+  // proper edge intersections
+  for (int i = 0; i < 4; ++i) {
+    float a0x = a[i * 2], a0y = a[i * 2 + 1];
+    float a1x = a[((i + 1) & 3) * 2], a1y = a[((i + 1) & 3) * 2 + 1];
+    for (int j = 0; j < 4; ++j) {
+      float b0x = b[j * 2], b0y = b[j * 2 + 1];
+      float b1x = b[((j + 1) & 3) * 2], b1y = b[((j + 1) & 3) * 2 + 1];
+      float d1 = cross2(b0x, b0y, b1x, b1y, a0x, a0y);
+      float d2 = cross2(b0x, b0y, b1x, b1y, a1x, a1y);
+      float d3 = cross2(a0x, a0y, a1x, a1y, b0x, b0y);
+      float d4 = cross2(a0x, a0y, a1x, a1y, b1x, b1y);
+      if (d1 * d2 < 0 && d3 * d4 < 0) return true;
+    }
+  }
+  return false;
+}
+
+void box_collision_test(const float* corners_a, int64_t na, const float* corners_b,
+                        int64_t nb, uint8_t* out) {
+  for (int64_t i = 0; i < na; ++i)
+    for (int64_t j = 0; j < nb; ++j)
+      out[i * nb + j] = quad_overlap(corners_a + i * 8, corners_b + j * 8) ? 1 : 0;
+}
+
+// ---------------------------------------------------------------------------
+// Rotated NMS (host tooling path). boxes_corners [n,4,2] sorted by desc
+// score; keep flags out [n]. Exact greedy with polygon-intersection IoU.
+static float quad_area(const float* q) {
+  float s = 0;
+  for (int i = 0; i < 4; ++i)
+    s += q[i * 2] * q[((i + 1) & 3) * 2 + 1] - q[((i + 1) & 3) * 2] * q[i * 2 + 1];
+  return std::fabs(s) * 0.5f;
+}
+
+static float quad_inter_area(const float* A, const float* B) {
+  // Sutherland–Hodgman clip of A by B's half-planes (B assumed convex)
+  float poly[16 * 2];
+  float tmp[16 * 2];
+  int n = 4;
+  std::memcpy(poly, A, sizeof(float) * 8);
+  // winding of B
+  float w = 0;
+  for (int i = 0; i < 4; ++i)
+    w += (B[((i + 1) & 3) * 2] - B[i * 2]) * (B[((i + 1) & 3) * 2 + 1] + B[i * 2 + 1]);
+  bool ccw = w < 0;
+  for (int e = 0; e < 4 && n > 0; ++e) {
+    int e0 = ccw ? e : ((e + 1) & 3);
+    int e1 = ccw ? ((e + 1) & 3) : e;
+    float ex0 = B[e0 * 2], ey0 = B[e0 * 2 + 1], ex1 = B[e1 * 2], ey1 = B[e1 * 2 + 1];
+    int m = 0;
+    for (int i = 0; i < n; ++i) {
+      float cx = poly[i * 2], cy = poly[i * 2 + 1];
+      float nx2 = poly[((i + 1) % n) * 2], ny2 = poly[((i + 1) % n) * 2 + 1];
+      float sc = cross2(ex0, ey0, ex1, ey1, cx, cy);
+      float sn = cross2(ex0, ey0, ex1, ey1, nx2, ny2);
+      if (sc >= 0) { tmp[m * 2] = cx; tmp[m * 2 + 1] = cy; ++m; }
+      if ((sc >= 0) != (sn >= 0)) {
+        float t = sc / (sc - sn);
+        tmp[m * 2] = cx + t * (nx2 - cx);
+        tmp[m * 2 + 1] = cy + t * (ny2 - cy);
+        ++m;
+      }
+    }
+    n = m;
+    std::memcpy(poly, tmp, sizeof(float) * 2 * n);
+  }
+  if (n < 3) return 0.f;
+  float s = 0;
+  for (int i = 0; i < n; ++i)
+    s += poly[i * 2] * poly[((i + 1) % n) * 2 + 1] - poly[((i + 1) % n) * 2] * poly[i * 2 + 1];
+  return std::fabs(s) * 0.5f;
+}
+
+void rotate_nms_cpu(const float* corners, int64_t n, float iou_threshold, uint8_t* keep) {
+  std::vector<float> areas(n);
+  for (int64_t i = 0; i < n; ++i) areas[i] = quad_area(corners + i * 8);
+  std::fill(keep, keep + n, 1);
+  for (int64_t i = 0; i < n; ++i) {
+    if (!keep[i]) continue;
+    for (int64_t j = i + 1; j < n; ++j) {
+      if (!keep[j]) continue;
+      float inter = quad_inter_area(corners + i * 8, corners + j * 8);
+      float uni = areas[i] + areas[j] - inter;
+      if (uni > 0 && inter / uni > iou_threshold) keep[j] = 0;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Greedy budgeted k-center over a dense distance matrix (host tooling path).
+// dist [n*n] row-major; returns count of selected, writes into selected.
+int kcenter_greedy(const float* dist, int64_t n, const float* frame_costs,
+                   float budget, const float* init_fps, int32_t first_idx,
+                   const uint8_t* already, int32_t* selected, int max_select) {
+  std::vector<float> fps(init_fps, init_fps + n);
+  const float NEG = -1e30f;
+  for (int64_t i = 0; i < n; ++i)
+    if (already[i]) fps[i] = NEG;
+  int count = 0;
+  float cost = frame_costs[first_idx];
+  if (cost > budget && count > 0) return 0;
+  selected[count++] = first_idx;
+  fps[first_idx] = NEG;
+  int32_t last = first_idx;
+  while (count < max_select) {
+    const float* row = dist + static_cast<int64_t>(last) * n;
+    int32_t best = -1;
+    float best_v = NEG;
+    for (int64_t i = 0; i < n; ++i) {
+      if (row[i] < fps[i]) fps[i] = row[i];
+      if (already[i]) fps[i] = NEG;
+      if (fps[i] > best_v) { best_v = fps[i]; best = static_cast<int32_t>(i); }
+    }
+    if (best < 0) break;
+    float next_cost = cost + frame_costs[best];
+    if (next_cost > budget) break;
+    selected[count++] = best;
+    cost = next_cost;
+    fps[best] = NEG;
+    last = best;
+  }
+  return count;
+}
+
+}  // extern "C"

@@ -154,3 +154,52 @@ def voxelize_mean(points: jnp.ndarray, valid: jnp.ndarray, cfg: VoxelConfig):
         "voxel_valid": voxel_valid,
         "num_voxels": voxel_valid.sum(),
     }
+
+
+def voxelize_mean_grid(points: jnp.ndarray, valid: jnp.ndarray, cfg: VoxelConfig):
+    """Sort-free voxelize + per-voxel mean via a dense cell grid.
+
+    The sort-based path (:func:`voxelize_mean`) replicates reference ordering
+    exactly but XLA sort is pathologically slow on some TPU runtimes; this
+    variant uses scatter/nonzero only. Behavioral deviations (documented):
+    voxel order is ascending cell index (not first-appearance) — affects only
+    which voxels drop when exceeding ``max_voxel_num`` — and the mean runs
+    over ALL points in a voxel rather than the first ``max_points_in_voxel``.
+    """
+    M = cfg.max_voxel_num
+    nx, ny, nz = cfg.grid_size
+    cells = nx * ny * nz
+    r0 = jnp.asarray(cfg.point_cloud_range[:3], points.dtype)
+    vs = jnp.asarray(cfg.voxel_size, points.dtype)
+
+    c = jnp.floor((points[:, :3] - r0) / vs).astype(jnp.int32)
+    in_grid = jnp.all((c >= 0) & (c < jnp.asarray([nx, ny, nz])), axis=1)
+    finite = jnp.all(jnp.isfinite(points[:, :3]), axis=1)
+    ok = valid & in_grid & finite
+    lin = (c[:, 2] * ny + c[:, 1]) * nx + c[:, 0]
+    lin = jnp.where(ok, lin, cells)
+
+    occ = jnp.zeros((cells + 1,), bool).at[lin].set(True, mode="drop")
+    cell_list = jnp.nonzero(occ[:cells], size=M, fill_value=cells)[0].astype(jnp.int32)
+    vox_of_cell = jnp.full((cells + 1,), M, jnp.int32).at[cell_list].set(
+        jnp.arange(M, dtype=jnp.int32), mode="drop"
+    ).at[cells].set(M)
+    vid = vox_of_cell[lin]  # [P], M for dropped/overflow points
+
+    F = points.shape[1]
+    feat_sum = jnp.zeros((M + 1, F), points.dtype).at[vid].add(
+        jnp.where(ok[:, None], points, 0.0), mode="drop"
+    )[:M]
+    count = jnp.zeros((M + 1,), jnp.int32).at[vid].add(ok.astype(jnp.int32), mode="drop")[:M]
+    features = feat_sum / jnp.maximum(count, 1)[:, None].astype(points.dtype)
+    voxel_valid = (count > 0) & (cell_list < cells)
+    z = cell_list // (nx * ny)
+    rem = cell_list % (nx * ny)
+    coords = jnp.stack([z, rem // nx, rem % nx], axis=1)
+    return {
+        "features": features,
+        "num_points": count,
+        "coordinates": coords,
+        "voxel_valid": voxel_valid,
+        "num_voxels": voxel_valid.sum(),
+    }

@@ -1,0 +1,123 @@
+"""BEVFusion track: bev_pool oracle, vtransform geometry, swin shapes,
+lidar-only and camera+lidar forward, TransFusion loss/decode."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dal3d_tpu.ops.bev_pool import bev_pool, bev_pool_batched
+from dal3d_tpu.ops.voxelize import VoxelConfig
+from dal3d_tpu.models.bevfusion import (
+    BEVFusion, SwinTransformer, TransFusionTestCfg, transfusion_decode, transfusion_loss,
+)
+
+VCFG = VoxelConfig(
+    point_cloud_range=(-8.0, -8.0, -3.0, 8.0, 8.0, 1.0),
+    voxel_size=(0.25, 0.25, 0.1),
+    max_points_in_voxel=5,
+    max_voxel_num=2000,
+)
+
+
+def test_bev_pool_matches_scatter_oracle():
+    rng = np.random.RandomState(0)
+    Np, C, nx, ny, nz = 500, 8, 16, 16, 2
+    feats = rng.randn(Np, C).astype(np.float32)
+    coords = np.stack([
+        rng.randint(-2, nx + 2, Np), rng.randint(-2, ny + 2, Np), rng.randint(0, nz, Np)
+    ], axis=1).astype(np.int32)
+    valid = np.all((coords >= 0) & (coords < [nx, ny, nz]), axis=1)
+    out = np.asarray(bev_pool(jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(valid), nx, ny, nz))
+    ref = np.zeros((nz, ny, nx, C), np.float32)
+    for i in np.flatnonzero(valid):
+        x, y, z = coords[i]
+        ref[z, y, x] += feats[i]
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_bev_pool_batched_channel_collapse():
+    rng = np.random.RandomState(1)
+    B, Np, C, n = 2, 100, 4, 8
+    feats = rng.randn(B, Np, C).astype(np.float32)
+    coords = rng.randint(0, n, (B, Np, 3)).astype(np.int32)
+    coords[..., 2] = rng.randint(0, 2, (B, Np))
+    out = bev_pool_batched(jnp.asarray(feats), jnp.asarray(coords), jnp.ones((B, Np), bool), n, n, 2)
+    assert out.shape == (B, n, n, 2 * C)
+
+
+def test_swin_tiny_shapes():
+    model = SwinTransformer(embed_dim=24, depths=(1, 1, 2), num_heads=(2, 4, 8),
+                            out_indices=(0, 1, 2), window_size=4)
+    x = jnp.zeros((1, 64, 64, 3))
+    var = model.init(jax.random.PRNGKey(0), x, False)
+    outs = model.apply(var, x, False)
+    assert [o.shape for o in outs] == [(1, 16, 16, 24), (1, 8, 8, 48), (1, 4, 4, 96)]
+
+
+@pytest.fixture(scope="module")
+def lidar_batch():
+    rng = np.random.RandomState(0)
+    B, P = 1, 2048
+    pts = np.zeros((B, P, 5), np.float32)
+    pts[..., :2] = rng.uniform(-7.9, 7.9, (B, P, 2))
+    pts[..., 2] = rng.uniform(-2.9, 0.9, (B, P))
+    G = 6
+    gt = np.zeros((B, G, 9), np.float32)
+    gt[..., 3:6] = 1.0
+    gt[:, 0] = [2, 3, -0.9, 2.0, 4.6, 1.7, 0, 0, 0.5]
+    gt[:, 1] = [-4, 1, -1.0, 0.7, 0.8, 1.7, 0, 0, -0.2]
+    cls = np.zeros((B, G), np.int32)
+    cls[:, 0] = 1
+    cls[:, 1] = 9
+    return {
+        "points": jnp.asarray(pts),
+        "points_valid": jnp.ones((B, P), bool),
+    }, jnp.asarray(gt), jnp.asarray(cls)
+
+
+def test_bevfusion_lidar_only_forward_and_loss(lidar_batch):
+    batch, gt, cls = lidar_batch
+    model = BEVFusion(
+        voxel_cfg=VCFG, with_camera=False, num_proposals=16,
+        decoder_channels=(32, 64), voxel_caps=(2000, 1000, 500, 500),
+    )
+    var = model.init(jax.random.PRNGKey(0), batch, False)
+    preds = model.apply(var, batch, False)
+    assert preds["cls_logits"].shape == (1, 16, 10)
+    assert preds["heatmap"].shape[0] == 1
+
+    tcfg = TransFusionTestCfg(out_size_factor=8, voxel_size=(0.25, 0.25), pc_range=(-8.0, -8.0))
+    dets = transfusion_decode(preds, tcfg)
+    assert dets["box3d_lidar"].shape == (1, 16, 9)
+    assert np.isfinite(np.asarray(dets["box3d_lidar"])).all()
+
+    logs = transfusion_loss(preds, gt, cls, tcfg)
+    assert np.isfinite(float(logs["loss"])) and float(logs["loss"]) > 0
+    assert int(logs["num_matched"]) == 2
+
+
+def test_bevfusion_camera_lidar_forward(lidar_batch):
+    batch, gt, cls = lidar_batch
+    B, N = 1, 2
+    iH, iW = 64, 64
+    rng = np.random.RandomState(0)
+    intrins = np.tile(np.array([[50.0, 0, iW / 2], [0, 50.0, iH / 2], [0, 0, 1]], np.float32), (B, N, 1, 1))
+    cam_batch = dict(batch)
+    cam_batch.update({
+        "images": jnp.asarray(rng.rand(B, N, iH, iW, 3).astype(np.float32)),
+        "depth_images": jnp.asarray(rng.rand(B, N, iH, iW, 1).astype(np.float32) * 20),
+        "camera2lidar_rots": jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))),
+        "camera2lidar_trans": jnp.zeros((B, N, 3), jnp.float32),
+        "camera_intrinsics": jnp.asarray(intrins),
+        "img_aug_rots": jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))),
+        "img_aug_trans": jnp.zeros((B, N, 3), jnp.float32),
+    })
+    model = BEVFusion(
+        voxel_cfg=VCFG, with_camera=True, num_proposals=8,
+        decoder_channels=(32, 64), voxel_caps=(2000, 1000, 500, 500),
+        image_size=(iH, iW), camera_out_channels=16,
+    )
+    var = model.init(jax.random.PRNGKey(0), cam_batch, False)
+    preds = model.apply(var, cam_batch, False)
+    assert preds["cls_logits"].shape == (1, 8, 10)
+    assert np.isfinite(np.asarray(preds["cls_logits"])).all()
