@@ -73,3 +73,63 @@ def prepare_loss_weights(
     cls_weights = cls_weights / pos_normalizer
     cared = labels >= 0
     return cls_weights, reg_weights, cared
+
+
+def weighted_softmax_cross_entropy(
+    logits: jnp.ndarray,  # [B, A, C]
+    one_hot_targets: jnp.ndarray,  # [B, A, C]
+    weights: jnp.ndarray,  # [B, A]
+    logit_scale: float = 1.0,
+) -> jnp.ndarray:
+    """WeightedSoftmaxClassificationLoss (reference losses.py:412-455)."""
+    logits = logits / logit_scale
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -(one_hot_targets * logp).sum(-1) * weights
+
+
+def balanced_l1_loss(
+    preds: jnp.ndarray,
+    targets: jnp.ndarray,
+    weights: jnp.ndarray,
+    alpha: float = 0.5,
+    gamma: float = 1.5,
+    beta: float = 1.0,
+) -> jnp.ndarray:
+    """Balanced L1 (Libra R-CNN; reference losses.py BalancedL1Loss)."""
+    diff = jnp.abs(preds - targets)
+    b = jnp.e ** (gamma / alpha) - 1
+    loss = jnp.where(
+        diff < beta,
+        alpha / b * (b * diff + 1) * jnp.log(b * diff / beta + 1) - alpha * diff,
+        gamma * diff + gamma / b - alpha * beta,
+    )
+    return loss * weights[..., None]
+
+
+def ghm_classification_loss(
+    logits: jnp.ndarray,  # [B, A, C]
+    targets: jnp.ndarray,  # [B, A, C] one-hot
+    weights: jnp.ndarray,  # [B, A]
+    bins: int = 10,
+    momentum: float = 0.0,
+) -> jnp.ndarray:
+    """Gradient-harmonized classification loss (reference ghm_loss.py):
+    per-element CE reweighted inversely to its gradient-density bin."""
+    p = jax.nn.sigmoid(logits)
+    g = jnp.abs(p - targets)  # gradient norm in [0, 1]
+    valid = (weights > 0)[..., None] & jnp.ones_like(targets, bool)
+    tot = jnp.maximum(valid.sum(), 1)
+    w = jnp.zeros_like(g)
+    for i in range(bins):
+        lo, hi = i / bins, (i + 1) / bins + (1e-6 if i == bins - 1 else 0.0)
+        in_bin = (g >= lo) & (g < hi) & valid
+        num_in_bin = in_bin.sum()
+        density = jnp.where(num_in_bin > 0, tot / jnp.maximum(num_in_bin, 1), 0.0)
+        w = jnp.where(in_bin, density, w)
+    ce = sigmoid_cross_entropy_with_logits(logits, targets)
+    return ce * w / tot
+
+
+def iou_regression_loss(pred_iou: jnp.ndarray, target_iou: jnp.ndarray, weights: jnp.ndarray):
+    """Smooth-L1 on predicted IoU (mg_iou_head / estimator path)."""
+    return weighted_smooth_l1(pred_iou[..., None], target_iou[..., None], weights, sigma=3.0)[..., 0]

@@ -49,8 +49,9 @@ def kcenter_matrix(
         fps = jnp.where(already, NEG, fps)
         fps = fps.at[last].set(NEG)
         nxt = jnp.argmax(fps)
+        exhausted = ~jnp.isfinite(fps[nxt])  # pool empty: every candidate masked
         new_cost = cost + frame_costs[nxt]
-        ok = new_cost <= budget
+        ok = (new_cost <= budget) & ~exhausted
         sel = jax.lax.cond(ok, lambda: sel.at[count].set(nxt.astype(jnp.int32)), lambda: sel)
         count = jnp.where(ok, count + 1, count)
         return fps, sel, count, jnp.where(ok, new_cost, cost), jnp.where(ok, nxt, last), ~ok
@@ -96,8 +97,9 @@ def kcenter_features(
         fps = jnp.where(already, NEG, fps)
         fps = fps.at[last].set(NEG)
         nxt = jnp.argmax(fps)
+        exhausted = ~jnp.isfinite(fps[nxt])  # pool empty: every candidate masked
         new_cost = cost + frame_costs[nxt]
-        ok = new_cost <= budget
+        ok = (new_cost <= budget) & ~exhausted
         sel = jax.lax.cond(ok, lambda: sel.at[count].set(nxt.astype(jnp.int32)), lambda: sel)
         count = jnp.where(ok, count + 1, count)
         return fps, sel, count, jnp.where(ok, new_cost, cost), jnp.where(ok, nxt, last), ~ok
@@ -124,6 +126,8 @@ def kcenter_numpy(dist, frame_costs, budget, init_fps, first_idx, already):
         fps[np.asarray(already)] = -np.inf
         fps[last] = -np.inf
         nxt = int(np.argmax(fps))
+        if not np.isfinite(fps[nxt]):
+            break
         cost_next = cost + float(frame_costs[nxt])
         if cost_next > budget:
             break

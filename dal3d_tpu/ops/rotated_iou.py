@@ -111,3 +111,28 @@ def rotated_iou_matrix(boxes1: jnp.ndarray, boxes2: jnp.ndarray, block: int = 12
     nb = (N + pad) // block
     out = jax.lax.map(row_block, (c1p.reshape(nb, block, 4, 2), a1p.reshape(nb, block)))
     return out.reshape(nb * block, M)[:N]
+
+
+def boxes_iou3d(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """Exact 3D rotated IoU matrix [N, M] for boxes [*, 7+] (x,y,z,w,l,h,...,yaw),
+    z = bottom center. TPU-native replacement for the reference's
+    boxes_iou3d_gpu CUDA kernel (det3d/ops/iou3d_nms/src/iou3d_nms.cpp,
+    bevfusion/mmdet3d/ops/iou3d): BEV polygon intersection x z-overlap."""
+    bev1 = jnp.stack([boxes1[:, 0], boxes1[:, 1], boxes1[:, 3], boxes1[:, 4], boxes1[:, -1]], -1)
+    bev2 = jnp.stack([boxes2[:, 0], boxes2[:, 1], boxes2[:, 3], boxes2[:, 4], boxes2[:, -1]], -1)
+    c1 = corners_2d(bev1)
+    c2 = corners_2d(bev2)
+    area1 = bev1[:, 2] * bev1[:, 3]
+    area2 = bev2[:, 2] * bev2[:, 3]
+    inter_fn = jax.vmap(jax.vmap(_rect_intersection_area, in_axes=(None, 0)), in_axes=(0, None))
+    inter_bev = inter_fn(c1, c2)  # [N, M]
+    z1lo, z1hi = boxes1[:, 2], boxes1[:, 2] + boxes1[:, 5]
+    z2lo, z2hi = boxes2[:, 2], boxes2[:, 2] + boxes2[:, 5]
+    zov = jnp.maximum(
+        jnp.minimum(z1hi[:, None], z2hi[None, :]) - jnp.maximum(z1lo[:, None], z2lo[None, :]), 0.0
+    )
+    inter3d = inter_bev * zov
+    vol1 = area1 * boxes1[:, 5]
+    vol2 = area2 * boxes2[:, 5]
+    union = vol1[:, None] + vol2[None, :] - inter3d
+    return jnp.where(union > 0, inter3d / union, 0.0)

@@ -1,0 +1,117 @@
+"""PointPillars, pointnet ops, iou3d, estimator, partial dataset, extra losses."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dal3d_tpu.ops.pointnet import (
+    ball_query, furthest_point_sample, knn, three_interpolate, three_nn,
+)
+from dal3d_tpu.ops.rotated_iou import boxes_iou3d
+from dal3d_tpu.ops.voxelize import VoxelConfig
+from dal3d_tpu.models.detectors.point_pillars import PointPillars
+from dal3d_tpu.models.detectors.estimator import Estimator, points_in_box_pool
+from dal3d_tpu.models.losses.losses import (
+    balanced_l1_loss, ghm_classification_loss, weighted_softmax_cross_entropy,
+)
+
+
+def test_three_nn_interpolate():
+    rng = np.random.RandomState(0)
+    pts = rng.randn(50, 3).astype(np.float32)
+    feats = rng.randn(50, 8).astype(np.float32)
+    q = pts[:10] + 1e-4  # near-coincident
+    d, idx = three_nn(jnp.asarray(q), jnp.asarray(pts))
+    assert np.asarray(idx)[:, 0].tolist() == list(range(10))
+    out = three_interpolate(jnp.asarray(feats), idx, d)
+    np.testing.assert_allclose(np.asarray(out), feats[:10], atol=1e-2)
+
+
+def test_fps_spreads_points():
+    pts = np.array([[0, 0, 0], [0.1, 0, 0], [10, 0, 0], [0, 10, 0]], np.float32)
+    idx = np.asarray(furthest_point_sample(jnp.asarray(pts), 3))
+    assert idx[0] == 0 and set(idx[1:]) <= {2, 3}
+
+
+def test_ball_query():
+    pts = np.array([[0, 0, 0], [0.5, 0, 0], [5, 5, 5]], np.float32)
+    idx, has = ball_query(jnp.asarray(pts[:1]), jnp.asarray(pts), radius=1.0, nsample=2)
+    assert bool(has[0]) and set(np.asarray(idx)[0].tolist()) <= {0, 1}
+
+
+def test_iou3d_analytic():
+    a = jnp.asarray([[0, 0, 0, 2, 2, 2, 0, 0, 0.0]], jnp.float32)
+    b = jnp.asarray([[0, 0, 1, 2, 2, 2, 0, 0, 0.0]], jnp.float32)  # half z overlap
+    iou = np.asarray(boxes_iou3d(a, b))
+    np.testing.assert_allclose(iou[0, 0], (4 * 1) / (8 + 8 - 4), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(boxes_iou3d(a, a))[0, 0], 1.0, atol=1e-5)
+
+
+def test_point_pillars_forward():
+    cfg = VoxelConfig((-8.0, -8.0, -3.0, 8.0, 8.0, 1.0), (0.5, 0.5, 4.0), 20, 500)
+    model = PointPillars(
+        voxel_cfg=cfg, num_classes=(1,), num_input_features=5,
+        rpn_layer_nums=(1, 1, 1), rpn_ds_filters=(16, 32, 64), rpn_us_filters=(16, 16, 16),
+    )
+    rng = np.random.RandomState(0)
+    B, P = 2, 1024
+    pts = np.zeros((B, P, 5), np.float32)
+    pts[..., :2] = rng.uniform(-7.9, 7.9, (B, P, 2))
+    pts[..., 2] = rng.uniform(-2.9, 0.9, (B, P))
+    var = model.init(jax.random.PRNGKey(0), jnp.asarray(pts), jnp.ones((B, P), bool), False)
+    out = model.apply(var, jnp.asarray(pts), jnp.ones((B, P), bool), False)
+    # grid 32x32, rpn ds 2,2,2 with us 1,2,4 -> 16x16 map
+    assert out["preds"][0]["box_preds"].shape == (2, 16, 16, 20)
+    assert np.isfinite(np.asarray(out["embedding"])).all()
+
+
+def test_points_in_box_pool_and_estimator():
+    rng = np.random.RandomState(0)
+    P = 256
+    pts = np.zeros((P, 4), np.float32)
+    pts[:, :2] = rng.uniform(-5, 5, (P, 2))
+    pts[:, 2] = rng.uniform(-1, 1, P)
+    boxes = np.array([[0, 0, -1, 2, 2, 2, 0, 0, 0.0]], np.float32)
+    feat, mask = points_in_box_pool(jnp.asarray(pts), jnp.ones(P, bool), jnp.asarray(boxes))
+    inside_ref = (np.abs(pts[:, 0]) <= 1) & (np.abs(pts[:, 1]) <= 1) & (pts[:, 2] >= -1) & (pts[:, 2] <= 1)
+    assert int(mask.sum()) == min(int(inside_ref.sum()), 128)
+
+    est = Estimator(max_pts=32, hidden=(16,))
+    B = 2
+    bp = np.tile(boxes[None], (B, 4, 1))
+    var = est.init(jax.random.PRNGKey(0), jnp.asarray(np.tile(pts[None], (B, 1, 1))),
+                   jnp.ones((B, P), bool), jnp.asarray(bp))
+    iou = est.apply(var, jnp.asarray(np.tile(pts[None], (B, 1, 1))),
+                    jnp.ones((B, P), bool), jnp.asarray(bp))
+    assert iou.shape == (B, 4)
+    assert ((np.asarray(iou) >= 0) & (np.asarray(iou) <= 1)).all()
+
+
+def test_extra_losses_finite():
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(2, 16, 3).astype(np.float32))
+    onehot = jax.nn.one_hot(jnp.asarray(rng.randint(0, 3, (2, 16))), 3)
+    w = jnp.ones((2, 16))
+    for loss in (
+        weighted_softmax_cross_entropy(logits, onehot, w),
+        balanced_l1_loss(logits, onehot, w),
+        ghm_classification_loss(logits, onehot, w),
+    ):
+        assert np.isfinite(np.asarray(loss)).all()
+
+
+def test_partial_dataset(tmp_path):
+    from dal3d_tpu.data.datasets.synthetic import make_synthetic_nuscenes
+    from dal3d_tpu.data.datasets.nuscenes_partial import NuScenesPartialDataset
+
+    info_path = make_synthetic_nuscenes(str(tmp_path), n_frames=4, points_per_frame=200,
+                                        max_boxes=10, range_xy=7)
+    full = NuScenesPartialDataset(info_path=info_path, nsweeps=1, label_fraction=1.0,
+                                  class_names=["car"], test_mode=True)
+    part = NuScenesPartialDataset(info_path=info_path, nsweeps=1, label_fraction=0.3,
+                                  class_names=["car"], test_mode=True)
+    n_full = sum(len(full._nusc_infos[i]["gt_names"]) for i in range(4))
+    # partial keeps a strict subset per frame
+    total_kept = 0
+    for i in range(4):
+        part.get_sensor_data(i)  # exercises the keep-mask path
+    assert len(part) == 4 and n_full > 0

@@ -183,3 +183,22 @@ def test_round_accumulation(synth_env):
     buffer = load(synth_env["buffer_file"])
     assert set(r1) <= set(buffer["8"])
     assert len(buffer["8"]) > len(r1)
+
+
+def test_kcenter_pool_exhaustion_no_duplicates():
+    """Regression: when the (restricted) pool is exhausted, selection must
+    stop rather than emit duplicates (caught via PPAL's restricted FPS)."""
+    d = rand_dist(10, 5)
+    d[3:, :] = -np.inf
+    d[:, 3:] = -np.inf
+    costs = np.full(10, 0.1, np.float32)
+    init = np.full(10, np.inf, np.float32)
+    init[3:] = -np.inf  # pool = {0,1,2}
+    sel, count, _ = kcenter_matrix(
+        jnp.asarray(d), jnp.asarray(costs), jnp.asarray(np.float32(100.0)),
+        jnp.asarray(init), jnp.asarray(np.int32(0)), jnp.asarray(np.zeros(10, bool)),
+        max_select=10,
+    )
+    got = np.asarray(sel)[: int(count)].tolist()
+    assert len(got) == len(set(got)) == 3
+    assert set(got) == {0, 1, 2}
