@@ -1,0 +1,19 @@
+"""Partial-label AL experiment (reference examples/active/cbgs_partial.py):
+dual-model training — CBGS detector + box-quality Estimator — on the
+partial-label nuScenes variant (runtime.ActiveTrainer)."""
+from _cbgs_base import *  # noqa: F401,F403
+
+dataset_type = "NuScenesPartialDataset"
+label_fraction = 0.5
+
+estimator = dict(type="Estimator", max_pts=128, hidden=(64, 128))
+estimator_lr = 0.001
+
+selector = dict(
+    type="EntropySelector",
+    budget=4800,
+    buffer_file="data/buffers/partial.json",
+    infos_origin="data/nuScenes/infos_train_10sweeps_withvelo.pkl",
+    pred_store_file="data/buffers/partial_pred.npz",
+)
+work_dir = "./work_dirs/cbgs_partial"

@@ -62,6 +62,9 @@ class Trainer:
         self.lr_fn = one_cycle_lr(one_cycle_cfg) if one_cycle_cfg is not None else None
         self.state: Optional[TrainState] = None
         self.epoch = 0
+        from .tb_logger import TensorboardLogger
+
+        self.tb = TensorboardLogger(work_dir) if get_dist_info()[0] == 0 else None
 
     # ------------------------------------------------------------------
     def init_state(self, rng, sample_batch):
@@ -95,6 +98,8 @@ class Trainer:
             buf.update({**logs, "data_time": data_time, "time": iter_time})
             if rank == 0 and (i + 1) % self.log_interval == 0:
                 avg = buf.average(self.log_interval)
+                if self.tb is not None:
+                    self.tb.log(avg, int(self.state.step))
                 lr = float(self.lr_fn(int(self.state.step))) if self.lr_fn else float("nan")
                 self.logger.info(
                     f"Epoch [{self.epoch + 1}][{i + 1}] lr: {lr:.5f}, "
