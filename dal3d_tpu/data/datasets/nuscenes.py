@@ -49,7 +49,8 @@ general_to_detection = {
 }
 
 
-def build_pipeline(pipeline_cfgs: List[dict], tasks=None, max_points=300000):
+def build_pipeline(pipeline_cfgs: List[dict], tasks=None, max_points=300000,
+                   voxelize_host=None):
     stages = []
     for cfg in pipeline_cfgs:
         cfg = dict(cfg)
@@ -61,6 +62,7 @@ def build_pipeline(pipeline_cfgs: List[dict], tasks=None, max_points=300000):
         elif t == "Preprocess":
             stages.append(Preprocess(cfg["cfg"]))
         elif t in ("Reformat", "ReformatFixedShape"):
+            cfg.setdefault("voxelize_host", voxelize_host)
             stages.append(ReformatFixedShape(tasks=tasks, max_points=max_points, **cfg))
         elif t in ("Voxelization", "AssignTarget"):
             # on-device in this framework (ops.voxelize / core.target_assigner)
@@ -84,6 +86,7 @@ class NuScenesDataset:
         test_mode: bool = False,
         max_points: int = 300000,
         version: str = "v1.0-trainval",
+        voxelize_host=None,
         **kwargs,
     ):
         self._info_path = info_path
@@ -95,7 +98,11 @@ class NuScenesDataset:
         self.version = version
         self.eval_version = "detection_cvpr_2019"
         self.load_infos(info_path)
-        self.pipeline = build_pipeline(pipeline or [], tasks=tasks, max_points=max_points) if pipeline else []
+        self.pipeline = (
+            build_pipeline(pipeline or [], tasks=tasks, max_points=max_points,
+                           voxelize_host=voxelize_host)
+            if pipeline else []
+        )
 
     # ------------------------------------------------------------------
     def load_infos(self, info_path: str):

@@ -118,12 +118,17 @@ class ReformatFixedShape:
     preprocess.py:383-422); yaw limited to [-pi, pi).
     """
 
-    def __init__(self, tasks: Sequence[dict], max_points: int = 300000, max_gt: int = 128, **kwargs):
+    def __init__(self, tasks: Sequence[dict], max_points: int = 300000, max_gt: int = 128,
+                 voxelize_host: Optional[dict] = None, **kwargs):
         self.tasks = [dict(t) for t in tasks]
         self.max_points = max_points
         self.max_gt = max_gt
         names = [t["class_names"] for t in self.tasks]
         self.class_names_flat = [n for ns in names for n in ns]
+        # host voxelization (native C++): ships mean-VFE voxel tensors instead
+        # of relying on the on-device voxelizer (whose 43M-cell compaction is
+        # the single most expensive op of the jitted step on this runtime)
+        self.voxelize_host = dict(voxelize_host) if voxelize_host else None
 
     def __call__(self, res: dict, info: dict):
         points = res["lidar"]["points"]
@@ -138,6 +143,27 @@ class ReformatFixedShape:
             "points_valid": valid,
             "metadata": res.get("metadata", {}),
         }
+
+        if self.voxelize_host is not None:
+            from ...native import host_ops
+
+            vh = self.voxelize_host
+            M = int(vh["max_voxel_num"])
+            voxels, coords, npts = host_ops.points_to_voxel(
+                points[: self.max_points].astype(np.float32),
+                vh["voxel_size"], vh["range"],
+                int(vh["max_points_in_voxel"]), M,
+            )
+            n = voxels.shape[0]
+            feat = np.zeros((M, points.shape[1]), np.float32)
+            feat[:n] = voxels.sum(axis=1) / np.maximum(npts, 1)[:, None]
+            vcoords = np.zeros((M, 3), np.int32)
+            vcoords[:n] = coords
+            vvalid = np.zeros((M,), bool)
+            vvalid[:n] = True
+            example["voxel_features"] = feat
+            example["voxel_coords"] = vcoords
+            example["voxel_valid"] = vvalid
 
         if res.get("mode") == "train":
             gt = res["lidar"]["annotations"]

@@ -25,20 +25,66 @@ from ...ops import sparse_backend as sp
 from ..layers import MaskedBatchNorm, SparseConvDown, SubMConv
 from ..registry import BACKBONES
 
+# rematerialized blocks for the dense engine: each stage's activations are
+# recomputed in backward instead of stored (the [B,D,H,W,C] grids otherwise
+# blow HBM: measured 37 GB of saved activations for the train step)
+def _remat_stage():
+    return nn.remat(_Stage, static_argnums=(2,))
+
+
+def _remat_block():
+    return nn.remat(SparseBasicBlock, static_argnums=(3,))
+
+
+class _L0GatherSection(nn.Module):
+    """Stem + 2 basic blocks + first downsample on the gather engine
+    (factored out so the hybrid path can rematerialize it as one unit)."""
+
+    out_cap: int
+    dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, sb: sp.SparseBatch, train: bool) -> sp.SparseBatch:
+        # the L0 index grid is 344 MB — build once, share between the SubM
+        # rulebook and the downsample plan
+        grid = None
+        if hasattr(sp, "build_index_grid"):
+            grid = sp.build_index_grid(sb)
+        rb0 = sp.subm_rulebook(sb, 3, grid) if grid is not None else sp.subm_rulebook(sb, 3)
+        x = SubMConv(16, use_bias=False, dtype=self.dtype)(sb, rb0)
+        f = MaskedBatchNorm()(x.features, x.valid, train)
+        x = x.replace(features=nn.relu(f))
+        x = SparseBasicBlock(16, dtype=self.dtype)(x, rb0, train)
+        x = SparseBasicBlock(16, dtype=self.dtype)(x, rb0, train)
+        x = SparseConvDown(32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.out_cap, use_bias=False, dtype=self.dtype)(x, grid=grid)
+        f = MaskedBatchNorm()(x.features, x.valid, train)
+        return x.replace(features=nn.relu(f))
+
 
 class SparseBasicBlock(nn.Module):
     """Residual block of two SubM 3x3x3 convs (reference scn.py:54-97)."""
 
     planes: int
+    dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x: sp.SparseBatch, rulebook, train: bool) -> sp.SparseBatch:
+    def __call__(self, x, rulebook, train: bool):
+        if isinstance(x, tuple):
+            dense, occ = x
+            identity = dense
+            mask = occ > 0
+            out, _ = SubMConv(self.planes, use_bias=True, dtype=self.dtype)((dense, occ))
+            f = nn.relu(MaskedBatchNorm()(out, mask, train))
+            out, _ = SubMConv(self.planes, use_bias=True, dtype=self.dtype)((f, occ))
+            f = MaskedBatchNorm()(out, mask, train)
+            f = nn.relu(f + identity.astype(f.dtype)) * occ[..., None].astype(f.dtype)
+            return f, occ
         identity = x.features
-        out = SubMConv(self.planes, use_bias=True)(x, rulebook)
+        out = SubMConv(self.planes, use_bias=True, dtype=self.dtype)(x, rulebook)
         f = MaskedBatchNorm()(out.features, out.valid, train)
         f = nn.relu(f)
         out = out.replace(features=f)
-        out = SubMConv(self.planes, use_bias=True)(out, rulebook)
+        out = SubMConv(self.planes, use_bias=True, dtype=self.dtype)(out, rulebook)
         f = MaskedBatchNorm()(out.features, out.valid, train)
         f = nn.relu(f + identity)
         f = jnp.where(out.valid[..., None], f, 0.0)
@@ -55,13 +101,15 @@ class _Stage(nn.Module):
     down_stride: Tuple[int, int, int]
     down_padding: Tuple[int, int, int]
     out_cap: int
+    dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x: sp.SparseBatch, train: bool) -> sp.SparseBatch:
+    def __call__(self, x, train: bool):
+        dense_mode = isinstance(x, tuple)
         if self.num_blocks > 0:
-            rb = sp.subm_rulebook(x, 3)
+            rb = None if dense_mode else sp.subm_rulebook(x, 3)
             for _ in range(self.num_blocks):
-                x = SparseBasicBlock(self.planes)(x, rb, train)
+                x = SparseBasicBlock(self.planes, dtype=self.dtype)(x, rb, train)
         x = SparseConvDown(
             self.out_planes,
             kernel_size=self.down_kernel,
@@ -69,7 +117,12 @@ class _Stage(nn.Module):
             padding=self.down_padding,
             out_cap=self.out_cap,
             use_bias=False,
+            dtype=self.dtype,
         )(x)
+        if dense_mode:
+            dense, occ = x
+            f = nn.relu(MaskedBatchNorm()(dense, occ > 0, train))
+            return f * occ[..., None].astype(f.dtype), occ
         f = MaskedBatchNorm()(x.features, x.valid, train)
         return x.replace(features=nn.relu(f))
 
@@ -83,29 +136,87 @@ class FPNSpMiddleResNetFHD(nn.Module):
     num_input_features: int = 5
     voxel_caps: Sequence[int] = (60000, 60000, 30000, 30000)
     ds_factor: int = 8
+    dtype: str = "float32"  # "bfloat16" halves HBM traffic on the hot path
+    # "hybrid" (default): gather engine at the huge 0.14%-dense L0 grid,
+    # dense-compute sparse-semantics from L1 down (the dense L0 working set
+    # blows HBM; the dense L1+ kills the gather rulebook/plan costs);
+    # "dense": dense everywhere (small grids only); "gather": rulebook
+    # gather-GEMM everywhere (lowest memory; BEVFusion's 1440x1440 grid)
+    impl: str = "hybrid"
 
     @nn.compact
     def __call__(self, sb: sp.SparseBatch, train: bool = False):
-        # stem at level 0 (shares the level-0 rulebook with the first blocks)
+        if self.impl == "hybrid":
+            from ...ops.dense_sparse import to_dense_grid
+
+            # L0 on the gather engine (rematerialized as one unit)
+            L0 = nn.remat(_L0GatherSection, static_argnums=(2,))
+            x = L0(self.voxel_caps[0], dtype=self.dtype, name="l0")(sb, train)
+            middle = [x]
+            # L1+ dense
+            dense, occ = to_dense_grid(x)
+            x = (dense, occ)
+            Stage = _remat_stage()
+            x = Stage(32, 64, 2, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.voxel_caps[1], dtype=self.dtype, name="stage1")(x, train)
+            middle.append(x)
+            x = Stage(64, 128, 2, (3, 3, 3), (2, 2, 2), (0, 1, 1), self.voxel_caps[2], dtype=self.dtype, name="stage2")(x, train)
+            middle.append(x)
+            x = Stage(128, 128, 2, (3, 1, 1), (2, 1, 1), (0, 0, 0), self.voxel_caps[3], dtype=self.dtype, name="stage3")(x, train)
+            middle.append(x)
+            d, occ_f = x
+            B, D, H, W, C = d.shape
+            dense_out = d.transpose(0, 2, 3, 4, 1).reshape(B, H, W, C * D).astype(jnp.float32)
+            return dense_out, middle
+
+        if self.impl == "dense":
+            from ...ops.dense_sparse import to_dense_grid
+
+            dense, occ = to_dense_grid(sb)
+            x = (dense, occ)
+            mask0 = occ > 0
+            x, _ = SubMConv(16, use_bias=False, dtype=self.dtype)(x)
+            f = nn.relu(MaskedBatchNorm()(x, mask0, train))
+            x = (f * occ[..., None].astype(f.dtype), occ)
+            x = SparseBasicBlock(16, dtype=self.dtype)(x, None, train)
+            x = SparseBasicBlock(16, dtype=self.dtype)(x, None, train)
+            x = SparseConvDown(32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.voxel_caps[0], use_bias=False, dtype=self.dtype)(x)
+            d1, o1 = x
+            f = nn.relu(MaskedBatchNorm()(d1, o1 > 0, train))
+            x = (f * o1[..., None].astype(f.dtype), o1)
+            middle = [x]
+            Stage = _remat_stage()
+            x = Stage(32, 64, 2, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.voxel_caps[1], dtype=self.dtype, name="stage1")(x, train)
+            middle.append(x)
+            x = Stage(64, 128, 2, (3, 3, 3), (2, 2, 2), (0, 1, 1), self.voxel_caps[2], dtype=self.dtype, name="stage2")(x, train)
+            middle.append(x)
+            x = Stage(128, 128, 2, (3, 1, 1), (2, 1, 1), (0, 0, 0), self.voxel_caps[3], dtype=self.dtype, name="stage3")(x, train)
+            middle.append(x)
+            d, occ_f = x
+            B, D, H, W, C = d.shape
+            # [B,D,H,W,C] -> [B,H,W,C*D], channel = c*D + d (matches to_dense)
+            dense_out = d.transpose(0, 2, 3, 4, 1).reshape(B, H, W, C * D).astype(jnp.float32)
+            return dense_out, middle
+
+        # gather engine
         rb0 = sp.subm_rulebook(sb, 3)
-        x = SubMConv(16, use_bias=False)(sb, rb0)
+        x = SubMConv(16, use_bias=False, dtype=self.dtype)(sb, rb0)
         f = MaskedBatchNorm()(x.features, x.valid, train)
         x = x.replace(features=nn.relu(f))
-        x = SparseBasicBlock(16)(x, rb0, train)
-        x = SparseBasicBlock(16)(x, rb0, train)
-        x = SparseConvDown(32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.voxel_caps[0], use_bias=False)(x)
+        x = SparseBasicBlock(16, dtype=self.dtype)(x, rb0, train)
+        x = SparseBasicBlock(16, dtype=self.dtype)(x, rb0, train)
+        x = SparseConvDown(32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.voxel_caps[0], use_bias=False, dtype=self.dtype)(x)
         f = MaskedBatchNorm()(x.features, x.valid, train)
         x = x.replace(features=nn.relu(f))
         middle = [x]
 
-        x = _Stage(32, 64, 2, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.voxel_caps[1])(x, train)
+        x = _Stage(32, 64, 2, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.voxel_caps[1], dtype=self.dtype, name="stage1")(x, train)
         middle.append(x)
-        x = _Stage(64, 128, 2, (3, 3, 3), (2, 2, 2), (0, 1, 1), self.voxel_caps[2])(x, train)
+        x = _Stage(64, 128, 2, (3, 3, 3), (2, 2, 2), (0, 1, 1), self.voxel_caps[2], dtype=self.dtype, name="stage2")(x, train)
         middle.append(x)
-        x = _Stage(128, 128, 2, (3, 1, 1), (2, 1, 1), (0, 0, 0), self.voxel_caps[3])(x, train)
+        x = _Stage(128, 128, 2, (3, 1, 1), (2, 1, 1), (0, 0, 0), self.voxel_caps[3], dtype=self.dtype, name="stage3")(x, train)
         middle.append(x)
 
-        dense = sp.to_dense(x)  # [B, H/8, W/8, 128*D]
+        dense = sp.to_dense(x).astype(jnp.float32)  # [B, H/8, W/8, 128*D]
         return dense, middle
 
 

@@ -41,31 +41,45 @@ class FPNVoxelNet(nn.Module):
     return_middle: bool = True
     # dense-grid voxelizer (no device sorts; see ops.voxelize.voxelize_mean_grid)
     sort_free_voxelize: bool = True
+    # backbone compute dtype ("bfloat16" for the bandwidth-bound sparse path)
+    backbone_dtype: str = "float32"
+    # "hybrid" (gather L0 + dense L1+; fastest on TPU), "dense", or "gather"
+    backbone_impl: str = "gather"
 
     @nn.compact
-    def __call__(self, points: jnp.ndarray, points_valid: jnp.ndarray, train: bool = False):
+    def __call__(self, points: jnp.ndarray, points_valid: jnp.ndarray, train: bool = False,
+                 voxels=None):
+        """voxels: optional (features [B,M,F], coords [B,M,3] zyx, valid [B,M])
+        from the host voxelizer; device voxelization runs otherwise."""
         cfg = self.voxel_cfg
-        vox_fn = voxelize_mean_grid if self.sort_free_voxelize else voxelize_mean
-        vox = jax.vmap(lambda p, v: vox_fn(p, v, cfg))(points, points_valid)
-        sb = sp.from_voxels(
-            vox["features"], vox["coordinates"], vox["voxel_valid"], cfg.sparse_shape
-        )
+        if voxels is not None:
+            vf, vc, vv = voxels
+            sb = sp.from_voxels(vf, vc, vv, cfg.sparse_shape)
+        else:
+            vox_fn = voxelize_mean_grid if self.sort_free_voxelize else voxelize_mean
+            vox = jax.vmap(lambda p, v: vox_fn(p, v, cfg))(points, points_valid)
+            sb = sp.from_voxels(
+                vox["features"], vox["coordinates"], vox["voxel_valid"], cfg.sparse_shape
+            )
         dense, middle = FPNSpMiddleResNetFHD(
-            num_input_features=self.num_input_features, voxel_caps=self.voxel_caps
+            num_input_features=self.num_input_features, voxel_caps=self.voxel_caps,
+            dtype=self.backbone_dtype, impl=self.backbone_impl,
         )(sb, train)
-        neck = RPN(
+        RematRPN = nn.remat(RPN, static_argnums=(2,))
+        neck = RematRPN(
             layer_nums=self.rpn_layer_nums,
             ds_layer_strides=self.rpn_ds_strides,
             ds_num_filters=self.rpn_ds_filters,
             us_layer_strides=self.rpn_us_strides,
             us_num_filters=self.rpn_us_filters,
             num_input_features=dense.shape[-1],
+            dtype=self.backbone_dtype,
+            name="RPN_0",
         )(dense, train)
         preds = MultiGroupHead(num_classes=tuple(self.num_classes), code_size=self.code_size)(neck)
         out = {
             "preds": preds,
             "embedding": neck.mean(axis=(1, 2)),  # [B, 512] selector embedding
-            "num_voxels": vox["num_voxels"],
         }
         if self.return_middle:
             out["middle"] = middle

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...core.box_coders import GroundBox3dCoder
-from ...ops.rotated_iou import boxes_iou3d
+from ...ops.rotated_iou_fast import boxes_iou3d_fast as boxes_iou3d
 from ..layers import kaiming_conv_init
 from ..losses.losses import prepare_loss_weights, weighted_smooth_l1
 from ..registry import HEADS

@@ -36,16 +36,23 @@ class MaskedBatchNorm(nn.Module):
         if train:
             m = mask[..., None].astype(jnp.float32)
             cnt = jnp.maximum(m.sum(), 1.0)
-            mean = (x * m).sum(axis=tuple(range(x.ndim - 1))) / cnt
-            var = (jnp.square(x - mean) * m).sum(axis=tuple(range(x.ndim - 1))) / cnt
+            xf = x.astype(jnp.float32)
+            mean = (xf * m).sum(axis=tuple(range(x.ndim - 1))) / cnt
+            var = (jnp.square(xf - mean) * m).sum(axis=tuple(range(x.ndim - 1))) / cnt
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
-        return jnp.where(mask[..., None], y, 0.0)
+        # fold stats into one multiply-add in the input dtype: big f32
+        # elementwise intermediates on the dense grids would otherwise
+        # dominate the training-step HBM footprint
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        scale_eff = (scale * inv).astype(x.dtype)
+        bias_eff = (bias - mean * scale * inv).astype(x.dtype)
+        y = x * scale_eff + bias_eff
+        return jnp.where(mask[..., None], y, jnp.zeros((), x.dtype))
 
 
 class BatchNorm2d(nn.Module):
@@ -61,6 +68,7 @@ class BatchNorm2d(nn.Module):
             momentum=self.momentum,
             epsilon=self.epsilon,
             axis_name=None,
+            dtype=x.dtype,
         )(x)
 
 
@@ -76,15 +84,42 @@ class SubMConv(nn.Module):
     features: int
     kernel_size: int = 3
     use_bias: bool = True
+    dtype: str = "float32"  # compute dtype; params stay f32, matmul accumulates f32
 
     @nn.compact
-    def __call__(self, sb: SparseBatch, rulebook) -> SparseBatch:
+    def __call__(self, sb, rulebook=None):
+        """sb: SparseBatch (gather engine) or (dense, occ) tuple (dense engine)."""
         from ..ops import sparse_backend as sp
+        from ..ops.dense_sparse import subm_conv_dense
 
+        import numpy as _np
+
+        cdt = jnp.dtype(self.dtype)
+        if isinstance(sb, tuple):
+            dense, occ = sb
+            cin = dense.shape[-1]
+            ks = (self.kernel_size,) * 3 if isinstance(self.kernel_size, int) else self.kernel_size
+            K = int(_np.prod(ks))
+            w = self.param("kernel", kaiming_conv_init(), (K, cin, self.features))
+            if cdt != dense.dtype:
+                dense = dense.astype(cdt)
+            # conv-level remat: the depth-sliced conv's pad/plane transients
+            # are recomputed in backward instead of stored (coarser remat
+            # still OOMs — each stage's backward would hold ~5 convs of
+            # [B,D,H,W,C] grid transients at once)
+            out = jax.checkpoint(
+                lambda d, o, ww: subm_conv_dense(d, o, ww, self.kernel_size)
+            )(dense, occ.astype(cdt), w)
+            if self.use_bias:
+                b = self.param("bias", nn.initializers.zeros, (self.features,))
+                out = (out + b.astype(cdt)) * occ[..., None].astype(cdt)
+            return out, occ
         K = rulebook[0].shape[1]
         cin = sb.features.shape[-1]
         w = self.param("kernel", kaiming_conv_init(), (K, cin, self.features))
-        out = sp.subm_conv(sb, w, rulebook=rulebook, kernel_size=self.kernel_size)
+        if cdt != sb.features.dtype:
+            sb = sb.replace(features=sb.features.astype(cdt))
+        out = sp.subm_conv(sb, w.astype(cdt), rulebook=rulebook, kernel_size=self.kernel_size)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out.replace(features=jnp.where(out.valid[..., None], out.features + b, 0.0))
@@ -100,17 +135,38 @@ class SparseConvDown(nn.Module):
     padding: tuple = (1, 1, 1)
     out_cap: int = 60000
     use_bias: bool = False
+    dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, sb: SparseBatch) -> SparseBatch:
+    def __call__(self, sb, grid=None):
         from ..ops import sparse_backend as sp
+        from ..ops.dense_sparse import sparse_conv_down_dense
         import numpy as np
 
         K = int(np.prod(self.kernel_size))
+        cdt = jnp.dtype(self.dtype)
+        if isinstance(sb, tuple):
+            dense, occ = sb
+            cin = dense.shape[-1]
+            w = self.param("kernel", kaiming_conv_init(), (K, cin, self.features))
+            if cdt != dense.dtype:
+                dense = dense.astype(cdt)
+            out, occ_out = jax.checkpoint(
+                lambda d, o, ww: sparse_conv_down_dense(
+                    d, o, ww, self.kernel_size, self.stride, self.padding
+                )
+            )(dense, occ.astype(cdt), w)
+            if self.use_bias:
+                b = self.param("bias", nn.initializers.zeros, (self.features,))
+                out = (out + b.astype(cdt)) * occ_out[..., None].astype(cdt)
+            return out, occ_out
         cin = sb.features.shape[-1]
         w = self.param("kernel", kaiming_conv_init(), (K, cin, self.features))
+        if cdt != sb.features.dtype:
+            sb = sb.replace(features=sb.features.astype(cdt))
         out = sp.sparse_conv_downsample(
-            sb, w, self.kernel_size, self.stride, self.padding, self.out_cap
+            sb, w.astype(cdt), self.kernel_size, self.stride, self.padding, self.out_cap,
+            grid=grid,
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))

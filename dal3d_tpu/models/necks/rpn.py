@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
@@ -25,6 +26,7 @@ class RPN(nn.Module):
     us_layer_strides: Sequence[int] = (1, 2)
     us_num_filters: Sequence[int] = (256, 256)
     num_input_features: int = 256
+    dtype: str = "float32"  # compute dtype (bf16 halves activation HBM)
 
     @property
     def downsample_factor(self):
@@ -35,6 +37,8 @@ class RPN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        cdt = jnp.dtype(self.dtype)
+        x = x.astype(cdt)
         upsample_start_idx = len(self.layer_nums) - len(self.us_layer_strides)
         ups = []
         for i, layer_num in enumerate(self.layer_nums):
@@ -42,12 +46,13 @@ class RPN(nn.Module):
             planes = self.ds_num_filters[i]
             x = nn.Conv(
                 planes, (3, 3), strides=(stride, stride), padding=1, use_bias=False,
-                kernel_init=kaiming_conv_init(),
+                kernel_init=kaiming_conv_init(), dtype=cdt,
             )(x)
             x = nn.relu(BatchNorm2d()(x, train))
             for _ in range(layer_num):
                 x = nn.Conv(
-                    planes, (3, 3), padding=1, use_bias=False, kernel_init=kaiming_conv_init()
+                    planes, (3, 3), padding=1, use_bias=False,
+                    kernel_init=kaiming_conv_init(), dtype=cdt,
                 )(x)
                 x = nn.relu(BatchNorm2d()(x, train))
             if i - upsample_start_idx >= 0:
@@ -56,18 +61,16 @@ class RPN(nn.Module):
                 if us > 1:
                     u = nn.ConvTranspose(
                         filters, (us, us), strides=(us, us), padding="VALID", use_bias=False,
-                        kernel_init=kaiming_conv_init(),
+                        kernel_init=kaiming_conv_init(), dtype=cdt,
                     )(x)
                 else:
                     k = int(np.round(1 / us))
                     u = nn.Conv(
                         filters, (k, k), strides=(k, k), use_bias=False,
-                        kernel_init=kaiming_conv_init(),
+                        kernel_init=kaiming_conv_init(), dtype=cdt,
                     )(x)
                 u = nn.relu(BatchNorm2d()(u, train))
                 ups.append(u)
         if ups:
-            import jax.numpy as jnp
-
             x = jnp.concatenate(ups, axis=-1)
-        return x
+        return x.astype(jnp.float32)

@@ -13,7 +13,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .rotated_iou import rotated_iou_matrix
+from .rotated_iou_fast import rotated_iou_matrix_greens
 
 
 def greedy_nms_from_iou(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float) -> jnp.ndarray:
@@ -68,7 +68,7 @@ def rotate_nms(
     top_valid = jnp.isfinite(top_scores)
     top_boxes = boxes_bev[top_idx]
 
-    iou = rotated_iou_matrix(top_boxes, top_boxes)
+    iou = rotated_iou_matrix_greens(top_boxes, top_boxes)
     keep = greedy_nms_from_iou(iou, top_valid, iou_threshold)
 
     keep_scores = jnp.where(keep, top_scores, -jnp.inf)

@@ -19,7 +19,7 @@ import optax
 from flax import struct
 
 from ..models.heads.mg_head import multi_group_predict
-from ..ops.rotated_iou import boxes_iou3d
+from ..ops.rotated_iou_fast import boxes_iou3d_fast as boxes_iou3d
 from .steps import TrainState, create_train_state, make_train_step
 from .trainer import Trainer
 

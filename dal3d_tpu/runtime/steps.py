@@ -52,10 +52,16 @@ def make_train_step(bundle, optimizer) -> Callable:
     num_classes, loss_cfg = bundle.num_classes, bundle.loss_cfg
 
     def train_step(state: TrainState, batch: Dict[str, Any]):
+        voxels = (
+            (batch["voxel_features"], batch["voxel_coords"], batch["voxel_valid"])
+            if "voxel_features" in batch else None
+        )
+
         def loss_fn(params):
             out, new_model_state = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["points"], batch["points_valid"], True,
+                voxels=voxels,
                 mutable=["batch_stats"],
             )
             labels, targets, _ = assigner.assign_all(batch["gt_boxes"], batch["gt_classes"])
@@ -97,9 +103,14 @@ def make_predict_step(bundle) -> Callable:
     task_anchors, box_coder, test_cfg = bundle.task_anchors, bundle.box_coder, bundle.test_cfg
 
     def predict_step(params, batch_stats, batch):
+        voxels = (
+            (batch["voxel_features"], batch["voxel_coords"], batch["voxel_valid"])
+            if "voxel_features" in batch else None
+        )
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["points"], batch["points_valid"], False,
+            voxels=voxels,
         )
         dets = multi_group_predict(out["preds"], task_anchors, box_coder, test_cfg)
         dets["embedding"] = out["embedding"]

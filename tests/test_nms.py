@@ -101,3 +101,27 @@ def test_greedy_chain_suppression():
     iou[1, 2] = iou[2, 1] = 0.9
     keep = np.asarray(greedy_nms_from_iou(jnp.asarray(iou), jnp.ones(3, bool), 0.5))
     assert keep.tolist() == [True, False, True]
+
+
+def test_fast_iou_matches_clipper():
+    from dal3d_tpu.ops.rotated_iou_fast import rotated_iou_matrix_fast, boxes_iou3d_fast
+    from dal3d_tpu.ops.rotated_iou import boxes_iou3d
+
+    rng = np.random.RandomState(5)
+    n = 60
+    b = np.zeros((n, 5), np.float32)
+    b[:, :2] = rng.uniform(-15, 15, (n, 2))
+    b[:, 2:4] = rng.uniform(0.5, 6, (n, 2))
+    b[:, 4] = rng.uniform(-np.pi, np.pi, n)
+    ref = np.asarray(rotated_iou_matrix(jnp.asarray(b), jnp.asarray(b)))
+    got = np.asarray(rotated_iou_matrix_fast(jnp.asarray(b), jnp.asarray(b)))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    b3 = np.zeros((20, 9), np.float32)
+    b3[:, :2] = rng.uniform(-10, 10, (20, 2))
+    b3[:, 2] = rng.uniform(-2, 0, 20)
+    b3[:, 3:6] = rng.uniform(0.5, 4, (20, 3))
+    b3[:, 8] = rng.uniform(-np.pi, np.pi, 20)
+    r3 = np.asarray(boxes_iou3d(jnp.asarray(b3), jnp.asarray(b3)))
+    g3 = np.asarray(boxes_iou3d_fast(jnp.asarray(b3), jnp.asarray(b3)))
+    np.testing.assert_allclose(g3, r3, atol=1e-4)

@@ -85,6 +85,7 @@ def main():
             pipeline=[dict(s) for s in val_data.get("pipeline", [])],
             tasks=[dict(t) for t in cfg.tasks],
             max_points=cfg.get("max_points", 300000),
+        voxelize_host=dict(cfg.voxel_generator) if cfg.get("voxelize_host", True) else None,
             test_mode=True,
         )
         batch_size = args.batch_size or cfg.data.get("samples_per_gpu", 2) * jax.device_count()
@@ -100,9 +101,10 @@ def main():
         predict = make_predict_step(bundle)
 
         def score_fn(batch):
+            keys = ("points", "points_valid", "voxel_features", "voxel_coords", "voxel_valid")
             return predict(
                 state.params, state.batch_stats,
-                {"points": batch["points"], "points_valid": batch["points_valid"]},
+                {k: batch[k] for k in keys if k in batch},
             )
 
         dataloader = loader

@@ -48,6 +48,7 @@ def main():
         nsweeps=val.get("nsweeps", 10), class_names=val.get("class_names"),
         pipeline=[dict(s) for s in val.get("pipeline", [])],
         tasks=[dict(t) for t in cfg.tasks], max_points=cfg.get("max_points", 300000),
+        voxelize_host=dict(cfg.voxel_generator) if cfg.get("voxelize_host", True) else None,
         test_mode=True,
     )
     batch_size = args.batch_size or cfg.data.get("samples_per_gpu", 2) * jax.device_count()

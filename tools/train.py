@@ -73,6 +73,7 @@ def main():
         pipeline=[dict(s) for s in train_data.get("pipeline", [])],
         tasks=[dict(t) for t in cfg.tasks],
         max_points=cfg.get("max_points", 300000),
+        voxelize_host=dict(cfg.voxel_generator) if cfg.get("voxelize_host", True) else None,
     )
     logger.info(f"dataset: {len(dataset)} frames after CBGS resampling")
 
