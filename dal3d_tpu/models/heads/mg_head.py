@@ -131,12 +131,14 @@ def multi_group_predict(
       box3d_lidar [B, D, 9], scores [B, D], label_preds [B, D] (global class
       ids), det_valid [B, D] with D = num_tasks * nms_post_max_size.
     """
-    all_boxes, all_scores, all_labels, all_valid = [], [], [], []
+    # stage 1 (per task): decode + score-threshold + top-k candidate select
+    cand_boxes, cand_scores, cand_labels = [], [], []
     label_offset = 0
+    B = preds[0]["box_preds"].shape[0]
+    pre = cfg.nms_pre_max_size
     for t, pred in enumerate(preds):
         ta = task_anchors[t]
         nc = ta.num_classes
-        B = pred["box_preds"].shape[0]
         code = box_coder.code_size
         box_preds = pred["box_preds"].reshape(B, -1, code)
         cls_preds = pred["cls_preds"].reshape(B, -1, nc)
@@ -146,41 +148,50 @@ def multi_group_predict(
         scores = jax.nn.sigmoid(cls_preds)
         top_scores = scores.max(axis=-1) if nc > 1 else scores[..., 0]
         top_labels = scores.argmax(axis=-1) if nc > 1 else jnp.zeros(scores.shape[:2], jnp.int32)
-        keep = top_scores >= cfg.score_threshold
-
-        def nms_one(boxes, sc, valid):
-            bev = boxes[:, jnp.array([0, 1, 3, 4, boxes.shape[1] - 1])]
-            idx, kv = rotate_nms(
-                bev, sc, valid,
-                pre_max_size=cfg.nms_pre_max_size,
-                post_max_size=cfg.nms_post_max_size,
-                iou_threshold=cfg.nms_iou_threshold,
-            )
-            return idx, kv
-
-        # the Green's-theorem IoU kernel is scatter-free, so batching via
-        # vmap lowers cleanly (the old polygon clipper did not)
-        idx, kv = jax.vmap(nms_one)(decoded, top_scores, keep)
-        sel_boxes = jnp.take_along_axis(decoded, idx[..., None], axis=1)
-        sel_scores = jnp.take_along_axis(top_scores, idx, axis=1)
-        sel_labels = jnp.take_along_axis(top_labels, idx, axis=1) + label_offset
-
-        # post_center_range mask
-        pcr = jnp.asarray(cfg.post_center_limit_range)
-        in_range = jnp.all(sel_boxes[..., :3] >= pcr[:3], axis=-1) & jnp.all(
-            sel_boxes[..., :3] <= pcr[3:], axis=-1
-        )
-        kv = kv & in_range
-
-        all_boxes.append(sel_boxes)
-        all_scores.append(jnp.where(kv, sel_scores, 0.0))
-        all_labels.append(sel_labels)
-        all_valid.append(kv)
+        masked = jnp.where(top_scores >= cfg.score_threshold, top_scores, -jnp.inf)
+        csc, cidx = jax.lax.top_k(masked, pre)  # [B, pre]
+        cand_boxes.append(jnp.take_along_axis(decoded, cidx[..., None], axis=1))
+        cand_scores.append(csc)
+        cand_labels.append(jnp.take_along_axis(top_labels, cidx, axis=1) + label_offset)
         label_offset += nc
 
+    # stage 2: ONE batched greedy NMS over all (task, batch) candidate sets —
+    # 6 sequential per-task NMS programs would serialize the IoU matrices
+    T = len(preds)
+    boxes_all = jnp.stack(cand_boxes).reshape(T * B, pre, 9)
+    scores_all = jnp.stack(cand_scores).reshape(T * B, pre)
+    labels_all = jnp.stack(cand_labels).reshape(T * B, pre)
+    valid_all = jnp.isfinite(scores_all)
+
+    from ...ops.rotated_iou_fast import rotated_iou_matrix_greens
+    from ...ops.nms import greedy_nms_from_iou
+
+    def suppress(boxes, sc, valid):
+        bev = boxes[:, jnp.array([0, 1, 3, 4, 8])]
+        iou = rotated_iou_matrix_greens(bev, bev)
+        keep = greedy_nms_from_iou(iou, valid, cfg.nms_iou_threshold)
+        ks, sel = jax.lax.top_k(jnp.where(keep, sc, -jnp.inf), cfg.nms_post_max_size)
+        return sel, jnp.isfinite(ks)
+
+    sel, kv = jax.vmap(suppress)(boxes_all, scores_all, valid_all)
+    sel_boxes = jnp.take_along_axis(boxes_all, sel[..., None], axis=1)
+    sel_scores = jnp.take_along_axis(scores_all, sel, axis=1)
+    sel_labels = jnp.take_along_axis(labels_all, sel, axis=1)
+
+    pcr = jnp.asarray(cfg.post_center_limit_range)
+    in_range = jnp.all(sel_boxes[..., :3] >= pcr[:3], axis=-1) & jnp.all(
+        sel_boxes[..., :3] <= pcr[3:], axis=-1
+    )
+    kv = kv & in_range
+
+    post = cfg.nms_post_max_size
+    # [T*B, post] -> [B, T*post] (task-major within each sample)
+    def unfold(x):
+        return x.reshape(T, B, post).transpose(1, 0, 2).reshape(B, T * post)
+
     return {
-        "box3d_lidar": jnp.concatenate(all_boxes, axis=1),
-        "scores": jnp.concatenate(all_scores, axis=1),
-        "label_preds": jnp.concatenate(all_labels, axis=1).astype(jnp.int32),
-        "det_valid": jnp.concatenate(all_valid, axis=1),
+        "box3d_lidar": sel_boxes.reshape(T, B, post, 9).transpose(1, 0, 2, 3).reshape(B, T * post, 9),
+        "scores": unfold(jnp.where(kv, sel_scores, 0.0)),
+        "label_preds": unfold(sel_labels).astype(jnp.int32),
+        "det_valid": unfold(kv),
     }

@@ -203,3 +203,41 @@ def voxelize_mean_grid(points: jnp.ndarray, valid: jnp.ndarray, cfg: VoxelConfig
         "voxel_valid": voxel_valid,
         "num_voxels": voxel_valid.sum(),
     }
+
+
+def dynamic_scatter(points: jnp.ndarray, valid: jnp.ndarray, cfg: VoxelConfig,
+                    reduce: str = "mean"):
+    """DynamicScatter (reference bevfusion/mmdet3d/ops/voxel/scatter_points):
+    per-voxel mean or max of point features, sort-free dense-grid path.
+    Returns dict(features [M, F], coordinates [M, 3], voxel_valid [M])."""
+    if reduce == "mean":
+        return voxelize_mean_grid(points, valid, cfg)
+    assert reduce == "max"
+    M = cfg.max_voxel_num
+    nx, ny, nz = cfg.grid_size
+    cells = nx * ny * nz
+    r0 = jnp.asarray(cfg.point_cloud_range[:3], points.dtype)
+    vs = jnp.asarray(cfg.voxel_size, points.dtype)
+    c = jnp.floor((points[:, :3] - r0) / vs).astype(jnp.int32)
+    ok = (
+        valid
+        & jnp.all((c >= 0) & (c < jnp.asarray([nx, ny, nz])), axis=1)
+        & jnp.all(jnp.isfinite(points[:, :3]), axis=1)
+    )
+    lin = jnp.where(ok, (c[:, 2] * ny + c[:, 1]) * nx + c[:, 0], cells)
+    occ = jnp.zeros((cells + 1,), bool).at[lin].set(True, mode="drop")
+    cell_list = jnp.nonzero(occ[:cells], size=M, fill_value=cells)[0].astype(jnp.int32)
+    vox_of_cell = jnp.full((cells + 1,), M, jnp.int32).at[cell_list].set(
+        jnp.arange(M, dtype=jnp.int32), mode="drop"
+    ).at[cells].set(M)
+    vid = jnp.where(ok, vox_of_cell[lin], M)
+    F = points.shape[1]
+    neg = jnp.full((M + 1, F), -jnp.inf, points.dtype)
+    fmax = neg.at[vid].max(jnp.where(ok[:, None], points, -jnp.inf), mode="drop")[:M]
+    voxel_valid = cell_list < cells
+    fmax = jnp.where(jnp.isfinite(fmax), fmax, 0.0)
+    z = cell_list // (nx * ny)
+    rem = cell_list % (nx * ny)
+    coords = jnp.stack([z, rem // nx, rem % nx], axis=1)
+    return {"features": fmax, "coordinates": coords, "voxel_valid": voxel_valid,
+            "num_voxels": voxel_valid.sum()}
