@@ -200,7 +200,7 @@ def transfusion_loss(
     assign = jax.pure_callback(
         lambda c, n: np.stack([_hungarian_np(c[b], n[b]) for b in range(c.shape[0])]),
         jax.ShapeDtypeStruct((B, P), np.int32),
-        cost, gt_valid.sum(-1),
+        jax.lax.stop_gradient(cost), gt_valid.sum(-1),  # assignment is non-differentiable
     )
     matched = assign >= 0
     tgt_boxes = jnp.take_along_axis(gt_boxes, jnp.maximum(assign, 0)[..., None], axis=1)

@@ -182,6 +182,49 @@ class BaseSelector:
         sel = np.asarray(sel)[: int(count)].tolist()
         return sel
 
+    def kcenter_on_features(self, features: np.ndarray, metric: str = "l1",
+                            restrict_to: Optional[List[int]] = None):
+        """Streaming budgeted FPS directly on pooled embeddings — distance
+        rows are computed on the fly inside the while_loop body, so the
+        N×N map is never materialized (a 30k-frame pool's f32 map alone is
+        3.6 GB; this needs only [N, C]). Selection semantics identical to
+        ``kcenter_on_map(maps.feature_map(features, metric))``."""
+        import jax.numpy as jnp
+
+        from ..ops.distance import pairwise_l1, pairwise_l2
+        from ..ops.kcenter import kcenter_features
+
+        N = len(self.infos_origin)
+        feats = jnp.asarray(np.asarray(features, np.float32))
+        sampled = list(self.buffer[self.get_max_key()])
+        already = np.zeros(N, bool)
+        already[sampled] = True
+        if restrict_to is not None:
+            keep = np.isin(np.arange(N), list(restrict_to) + sampled)
+            already |= ~keep  # excluded-from-pool ≡ never a candidate
+
+        if len(sampled) > 0:
+            pd = pairwise_l1 if metric == "l1" else pairwise_l2
+            init_fps = np.asarray(pd(feats[np.asarray(sampled)], feats).min(axis=0))
+            first = int(np.argmax(np.where(already, -np.inf, init_fps)))
+        else:
+            first = random.choice(np.flatnonzero(~already).tolist() or [0])
+            init_fps = np.full(N, np.inf, np.float32)
+
+        remaining = float(self.current_budget) - self.get_cost_amount()
+        max_select = min(N - len(sampled), int(remaining / self.cost_f) + 2)
+        sel, count, cost = kcenter_features(
+            feats,
+            jnp.asarray(self.frame_costs.astype(np.float32)),
+            jnp.asarray(np.float32(remaining)),
+            jnp.asarray(init_fps.astype(np.float32)),
+            jnp.asarray(first),
+            jnp.asarray(already),
+            max_select=max(max_select, 1),
+            metric=metric,
+        )
+        return np.asarray(sel)[: int(count)].tolist()
+
     def topk_by_score(self, scores: np.ndarray, budget: Optional[float] = None,
                       exclude: Optional[List[int]] = None) -> List[int]:
         """Greedy descending-score selection under the cost budget

@@ -8,8 +8,9 @@ scores/labels.
 """
 from __future__ import annotations
 
+import os
 import random
-from typing import List, Optional
+from typing import List, Optional, Union
 
 import numpy as np
 
@@ -18,18 +19,42 @@ from . import maps
 from .base_selector import BaseSelector
 from .registry import SELECTORS
 
+# above this pool size the N×N feature-distance map is not materialized
+# (30k frames ≈ 3.6 GB f32); the streaming kcenter_features kernel is used
+STREAMING_POOL_THRESHOLD = 20000
+
 
 class _ModelSelectorBase(BaseSelector):
     def __init__(self, *args, pred_store_file: Optional[str] = None,
                  distance_type: str = "l2_ref",
-                 distance_store_file: Optional[str] = None, **kwargs):
+                 distance_store_file: Optional[str] = None,
+                 streaming: Union[bool, str] = "auto", **kwargs):
         super().__init__(*args, **kwargs)
         self.pred_store_file = pred_store_file
         self.distance_type = distance_type
         self.distance_store_file = distance_store_file
+        self.streaming = streaming
 
     def scoring(self):
         return self.run_pool_scoring(self.pred_store_file)
+
+    def kcenter_embed(self, features: np.ndarray,
+                      restrict_to: Optional[List[int]] = None) -> List[int]:
+        """Budgeted FPS over embedding distances — materialized map for small
+        pools (cacheable via distance_store_file), streaming rows for large
+        ones (``streaming=True`` / ``"auto"`` beyond STREAMING_POOL_THRESHOLD)."""
+        metric = "l1" if self.distance_type in ("l1", "l2_ref") else "l2"
+        cached = bool(self.distance_store_file) and os.path.exists(self.distance_store_file)
+        use_stream = self.streaming is True or (
+            self.streaming == "auto" and len(features) > STREAMING_POOL_THRESHOLD
+            and not cached
+        )
+        if use_stream:
+            self.logger.info(
+                f"streaming k-center over {len(features)} frames (no N×N map)")
+            return self.kcenter_on_features(features, metric, restrict_to=restrict_to)
+        dm = maps.feature_map(features, self.distance_type, self.distance_store_file)
+        return self.kcenter_on_map(dm, restrict_to=restrict_to)
 
 
 @SELECTORS.register_module
@@ -39,9 +64,8 @@ class FeatureSelector(_ModelSelectorBase):
 
     def select_samples(self, **kwargs) -> None:
         s = self.scoring()
-        dm = maps.feature_map(s["embedding"], self.distance_type, self.distance_store_file)
         sampled = list(self.buffer[self.get_max_key()])
-        selected = self.kcenter_on_map(dm)
+        selected = self.kcenter_embed(s["embedding"])
         self.selected_index[self.current_budget] = sampled + selected
 
 
@@ -66,9 +90,8 @@ class BadgeSelector(_ModelSelectorBase):
     def select_samples(self, **kwargs) -> None:
         s = self.scoring()
         weighted = s["embedding"] * s["score_entropy"][:, None]
-        dm = maps.feature_map(weighted, self.distance_type, self.distance_store_file)
         sampled = list(self.buffer[self.get_max_key()])
-        selected = self.kcenter_on_map(dm)
+        selected = self.kcenter_embed(weighted)
         self.selected_index[self.current_budget] = sampled + selected
 
 
@@ -83,9 +106,8 @@ class UWESelector(_ModelSelectorBase):
         denom = max(ent.max() - ent.min(), 1e-12)
         norm = (ent - ent.min()) / denom
         weighted = s["embedding"] * norm[:, None]
-        dm = maps.feature_map(weighted, self.distance_type, self.distance_store_file)
         sampled = list(self.buffer[self.get_max_key()])
-        selected = self.kcenter_on_map(dm)
+        selected = self.kcenter_embed(weighted)
         self.selected_index[self.current_budget] = sampled + selected
 
 
@@ -120,8 +142,7 @@ class PPALSelector(_ModelSelectorBase):
         went = self.weighted_entropy(s)
         pool_budget = float(self.current_budget) + self.budget * (self.delta - 1)
         initial_pool = self.topk_by_score(went, budget=pool_budget, exclude=sampled)
-        dm = maps.feature_map(s["embedding"], self.distance_type, self.distance_store_file)
-        selected = self.kcenter_on_map(dm, restrict_to=initial_pool)
+        selected = self.kcenter_embed(s["embedding"], restrict_to=initial_pool)
         self.selected_index[self.current_budget] = selected + sampled
 
 

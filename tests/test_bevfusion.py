@@ -121,3 +121,30 @@ def test_bevfusion_camera_lidar_forward(lidar_batch):
     preds = model.apply(var, cam_batch, False)
     assert preds["cls_logits"].shape == (1, 8, 10)
     assert np.isfinite(np.asarray(preds["cls_logits"])).all()
+
+
+def test_bevfusion_train_step(lidar_batch):
+    """Full jitted train step: loss decreases over a few steps."""
+    from dal3d_tpu.runtime.bevfusion_steps import (
+        create_bevfusion_state, make_bevfusion_train_step,
+    )
+    from dal3d_tpu.solver.optim import OneCycleSchedule, build_optimizer
+
+    batch, gt, cls = lidar_batch
+    model = BEVFusion(
+        voxel_cfg=VCFG, with_camera=False, num_proposals=16,
+        decoder_channels=(32, 64), voxel_caps=(2000, 1000, 500, 500),
+    )
+    full = dict(batch)
+    full["gt_boxes"] = gt
+    full["gt_classes"] = cls
+    opt = build_optimizer(OneCycleSchedule(lr_max=0.003, total_steps=30))
+    state = create_bevfusion_state(model, opt, jax.random.PRNGKey(0), full)
+    tcfg = TransFusionTestCfg(out_size_factor=8, voxel_size=(0.25, 0.25), pc_range=(-8.0, -8.0))
+    step = make_bevfusion_train_step(model, opt, tcfg)
+    losses = []
+    for _ in range(8):
+        state, logs = step(state, full)
+        losses.append(float(logs["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"no learning: {losses[0]:.3f} -> {losses[-1]:.3f}"

@@ -202,3 +202,29 @@ def test_kcenter_pool_exhaustion_no_duplicates():
     got = np.asarray(sel)[: int(count)].tolist()
     assert len(got) == len(set(got)) == 3
     assert set(got) == {0, 1, 2}
+
+
+def test_streaming_kcenter_matches_matrix(synth_env):
+    """streaming=True (kcenter_features, no N×N map) must pick exactly the
+    same frames as the materialized-map path, incl. prior-selection init and
+    PPAL's restrict_to pool masking."""
+    def pick(cfg_extra):
+        dump({"0": [0, 5]}, synth_env["buffer_file"])
+        cfg = dict(pred_store_file=synth_env["npz"], budget=6,
+                   buffer_file=synth_env["buffer_file"],
+                   infos_origin=synth_env["info_path"], **cfg_extra)
+        sel = build_selector(cfg)
+        sel.select_samples()
+        return sel.get_selected_samples()[sel.current_budget]
+
+    a = pick(dict(type="FeatureSelector", streaming=False))
+    b = pick(dict(type="FeatureSelector", streaming=True))
+    assert a == b and len(a) > 2
+
+    classes = ["car", "truck", "construction_vehicle", "bus", "trailer",
+               "barrier", "motorcycle", "bicycle", "pedestrian", "traffic_cone"]
+    diff_file = os.path.join(synth_env["tmp"], "diff_stream.json")
+    dump({c: 1.0 + 0.1 * i for i, c in enumerate(classes)}, diff_file)
+    a = pick(dict(type="PPALSelector", diff_file=diff_file, delta=1.5, streaming=False))
+    b = pick(dict(type="PPALSelector", diff_file=diff_file, delta=1.5, streaming=True))
+    assert a == b
