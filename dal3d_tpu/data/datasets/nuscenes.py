@@ -67,6 +67,29 @@ def build_pipeline(pipeline_cfgs: List[dict], tasks=None, max_points=300000,
         elif t in ("Voxelization", "AssignTarget"):
             # on-device in this framework (ops.voxelize / core.target_assigner)
             continue
+        elif t in ("LoadMultiViewImages", "LoadMultiViewImageFromFiles"):
+            from ..pipelines.camera import LoadMultiViewImages
+
+            stages.append(LoadMultiViewImages(**cfg))
+        elif t == "ImageAug3D":
+            from ..pipelines.camera import ImageAug3D
+
+            cfg.pop("is_train", None)  # train/val picked from res["mode"]
+            stages.append(ImageAug3D(**cfg))
+        elif t == "GridMask":
+            from ..pipelines.camera import GridMask
+
+            cfg = {k: v for k, v in cfg.items()
+                   if k in ("prob", "ratio", "rotate", "use_h", "use_w", "mode")}
+            stages.append(GridMask(**cfg))
+        elif t == "ImageNormalize":
+            from ..pipelines.camera import ImageNormalize
+
+            stages.append(ImageNormalize(**cfg))
+        elif t == "ReformatCamera":
+            from ..pipelines.camera import ReformatCamera
+
+            stages.append(ReformatCamera(**cfg))
         else:
             raise KeyError(f"unknown pipeline stage {t}")
     return stages

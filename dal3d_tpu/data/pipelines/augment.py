@@ -28,7 +28,7 @@ def _rot_z(pts, angle):
     return out
 
 
-def random_flip_both(gt_boxes, points, probability=0.5, rng=None):
+def random_flip_both(gt_boxes, points, probability=0.5, rng=None, record=None):
     rng = rng or np.random
     if rng.uniform() < probability:  # y := -y
         gt_boxes[:, 1] = -gt_boxes[:, 1]
@@ -36,20 +36,26 @@ def random_flip_both(gt_boxes, points, probability=0.5, rng=None):
         points[:, 1] = -points[:, 1]
         if gt_boxes.shape[1] > 7:
             gt_boxes[:, 7] = -gt_boxes[:, 7]
+        if record is not None:
+            record["flip_y"] = True
     if rng.uniform() < probability:  # x := -x
         gt_boxes[:, 0] = -gt_boxes[:, 0]
         points[:, 0] = -points[:, 0]
         gt_boxes[:, -1] = -gt_boxes[:, -1] + 2 * np.pi
         if gt_boxes.shape[1] > 7:
             gt_boxes[:, 6] = -gt_boxes[:, 6]
+        if record is not None:
+            record["flip_x"] = True
     return gt_boxes, points
 
 
-def global_rotation(gt_boxes, points, rotation=(-np.pi / 4, np.pi / 4), rng=None):
+def global_rotation(gt_boxes, points, rotation=(-np.pi / 4, np.pi / 4), rng=None, record=None):
     rng = rng or np.random
     if not isinstance(rotation, (list, tuple, np.ndarray)):
         rotation = (-rotation, rotation)
     angle = rng.uniform(rotation[0], rotation[1])
+    if record is not None:
+        record["rotation"] = float(angle)
     points[:, :2] = _rot_z(points[:, :3], angle)[:, :2]
     gt_boxes[:, :2] = _rot_z(gt_boxes[:, :3], angle)[:, :2]
     if gt_boxes.shape[1] > 7:
@@ -60,9 +66,11 @@ def global_rotation(gt_boxes, points, rotation=(-np.pi / 4, np.pi / 4), rng=None
     return gt_boxes, points
 
 
-def global_scaling_v2(gt_boxes, points, min_scale=0.95, max_scale=1.05, rng=None):
+def global_scaling_v2(gt_boxes, points, min_scale=0.95, max_scale=1.05, rng=None, record=None):
     rng = rng or np.random
     s = rng.uniform(min_scale, max_scale)
+    if record is not None:
+        record["scale"] = float(s)
     points[:, :3] *= s
     gt_boxes[:, :-1] *= s
     return gt_boxes, points

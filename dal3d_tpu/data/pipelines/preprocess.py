@@ -95,14 +95,29 @@ class Preprocess:
             gt_dict["gt_classes"] = np.array(
                 [self.class_names.index(n) + 1 for n in gt_dict["gt_names"]], np.int32
             )
-            gt_dict["gt_boxes"], points = augment.random_flip_both(gt_dict["gt_boxes"], points)
+            rec: dict = {}
+            gt_dict["gt_boxes"], points = augment.random_flip_both(
+                gt_dict["gt_boxes"], points, record=rec
+            )
             gt_dict["gt_boxes"], points = augment.global_rotation(
-                gt_dict["gt_boxes"], points, rotation=self.global_rotation_noise
+                gt_dict["gt_boxes"], points, rotation=self.global_rotation_noise, record=rec
             )
             gt_dict["gt_boxes"], points = augment.global_scaling_v2(
-                gt_dict["gt_boxes"], points, *self.global_scaling_noise
+                gt_dict["gt_boxes"], points, *self.global_scaling_noise, record=rec
             )
             res["lidar"]["annotations"] = gt_dict
+            # composed lidar-frame aug (flip -> rot -> scale) so the camera
+            # branch can keep the camera2lidar extrinsics consistent
+            A = np.eye(3, dtype=np.float64)
+            if rec.get("flip_y"):
+                A = np.diag([1.0, -1.0, 1.0]) @ A
+            if rec.get("flip_x"):
+                A = np.diag([-1.0, 1.0, 1.0]) @ A
+            ang = rec.get("rotation", 0.0)
+            c, s = np.cos(ang), np.sin(ang)
+            A = np.array([[c, s, 0.0], [-s, c, 0.0], [0.0, 0.0, 1.0]]) @ A
+            A = rec.get("scale", 1.0) * A
+            res["lidar"]["aug_matrix"] = A.astype(np.float32)
 
         if self.shuffle_points:
             np.random.shuffle(points)
@@ -143,6 +158,10 @@ class ReformatFixedShape:
             "points_valid": valid,
             "metadata": res.get("metadata", {}),
         }
+        # camera branch (BEVFusion): merge the stacked multi-view arrays
+        cam_batch = res.get("camera", {}).get("batch")
+        if cam_batch:
+            example.update(cam_batch)
 
         if self.voxelize_host is not None:
             from ...native import host_ops

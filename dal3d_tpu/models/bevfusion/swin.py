@@ -116,6 +116,10 @@ class PatchMerging(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
+        # odd feature maps (non-square images) pad to even, as the reference
+        # Swin does before merging
+        x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        B, H, W, C = x.shape
         x = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(B, H // 2, W // 2, 4 * C)
         x = nn.LayerNorm()(x)

@@ -35,13 +35,13 @@ def nuscenes_data_prep(root_path, version="v1.0-trainval", nsweeps=10, suffix=No
     )
 
 
-def synthetic_data_prep(root_path, n_frames=32, n_logs=4, seed=0, range_xy=45.0):
+def synthetic_data_prep(root_path, n_frames=32, n_logs=4, seed=0, range_xy=45.0, with_camera=False):
     from dal3d_tpu.data.create_gt_database import create_groundtruth_database
     from dal3d_tpu.data.datasets.synthetic import make_synthetic_nuscenes
     from dal3d_tpu.utils.fileio import dump
 
-    train = make_synthetic_nuscenes(root_path, n_frames, n_logs, seed=seed, split="train", range_xy=range_xy)
-    make_synthetic_nuscenes(root_path, max(n_frames // 4, 2), n_logs, seed=seed + 1, split="val", range_xy=range_xy)
+    train = make_synthetic_nuscenes(root_path, n_frames, n_logs, seed=seed, split="train", range_xy=range_xy, with_camera=with_camera)
+    make_synthetic_nuscenes(root_path, max(n_frames // 4, 2), n_logs, seed=seed + 1, split="val", range_xy=range_xy, with_camera=with_camera)
     # minimal log.json for the spatial selectors
     from dal3d_tpu.utils.fileio import load
 
@@ -71,11 +71,12 @@ def main():
     s.add_argument("--n_logs", type=int, default=4)
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--range_xy", type=float, default=45.0)
+    s.add_argument("--with_camera", action="store_true")
     args = p.parse_args()
     if args.cmd == "nuscenes_data_prep":
         nuscenes_data_prep(args.root_path, args.version, args.nsweeps, args.suffix, args.infos_only)
     else:
-        synthetic_data_prep(args.root_path, args.n_frames, args.n_logs, args.seed, args.range_xy)
+        synthetic_data_prep(args.root_path, args.n_frames, args.n_logs, args.seed, args.range_xy, args.with_camera)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,8 @@ def main():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--load_from", default=None)
     p.add_argument("--resume_from", default=None)
+    p.add_argument("--swin_init", default=None,
+                   help="flax-param npz from tools/convert_swin.py (pretrained camera backbone)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     jax = setup_jax(force_cpu=args.cpu)
@@ -50,6 +52,8 @@ def main():
         num_proposals=int(mc.get("num_proposals", 200)),
         voxel_caps=tuple(mc.get("voxel_caps", (120000, 60000, 30000, 30000))),
         decoder_channels=tuple(mc.get("decoder_channels", (128, 256))),
+        image_size=tuple(mc.get("image_size", (256, 704))),
+        camera_out_channels=int(mc.get("camera_out_channels", 80)),
     )
     tc = dict(cfg.test_cfg)
     test_cfg = TransFusionTestCfg(
@@ -79,8 +83,11 @@ def main():
     def to_fusion_batch(b):
         import jax.numpy as jnp
 
-        out = {k: jnp.asarray(v) for k, v in b.items()
-               if k in ("points", "points_valid", "voxel_features", "voxel_coords", "voxel_valid")}
+        from dal3d_tpu.runtime.bevfusion_steps import CAMERA_KEYS
+
+        keep = ("points", "points_valid", "voxel_features", "voxel_coords",
+                "voxel_valid") + CAMERA_KEYS
+        out = {k: jnp.asarray(v) for k, v in b.items() if k in keep}
         # fold per-task GTs into global-class arrays for the fusion head
         gts, cls = b["gt_boxes"], b["gt_classes"]
         offset = 0
@@ -102,6 +109,24 @@ def main():
     elif args.load_from:
         state, _ = ckpt.load_checkpoint(args.load_from, state)
         logger.info(f"warm-started from {args.load_from}")
+    if args.swin_init:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from convert_swin import load_swin_npz
+
+        swin = load_swin_npz(args.swin_init)
+        params = dict(state.params)
+        assert "SwinTransformer_0" in params, "model has no camera branch"
+        import jax.tree_util as jtu
+
+        cur = params["SwinTransformer_0"]
+        assert jtu.tree_structure(cur) == jtu.tree_structure(swin), (
+            "converted Swin tree does not match the model (check depths/out_indices)"
+        )
+        params["SwinTransformer_0"] = jtu.tree_map(
+            lambda a, b: b.astype(a.dtype).reshape(a.shape), cur, swin
+        )
+        state = state.replace(params=params)
+        logger.info(f"camera backbone initialized from {args.swin_init}")
 
     for epoch in range(total_epochs):
         for i, batch in enumerate(DataLoader(dataset, batch_size, shuffle=True, seed=epoch)):
