@@ -98,10 +98,16 @@ class KittiDataset:
             annos = info.get("annos", {"name": []})
             keep = np.asarray([n != "DontCare" for n in annos["name"]], bool)
             sub = {k: np.asarray(v)[keep] for k, v in annos.items()}
-            gt.append({
+            g = {
                 "boxes": camera_to_lidar_boxes(sub, info["calib"]) if keep.any() else np.zeros((0, 9), np.float32),
                 "names": sub["name"],
-            })
+            }
+            # difficulty annotations -> official easy/moderate/hard bins
+            if all(k in sub for k in ("bbox", "occluded", "truncated")):
+                g["bbox"] = np.asarray(sub["bbox"], np.float32).reshape(-1, 4)
+                g["occluded"] = np.asarray(sub["occluded"])
+                g["truncated"] = np.asarray(sub["truncated"])
+            gt.append(g)
             det = detections.get(token, None)
             if det is None:
                 preds.append({"boxes": np.zeros((0, 9), np.float32), "names": np.asarray([]),

@@ -36,6 +36,47 @@ def test_kitti_eval_misses():
     assert r["Car_3d_AP40"] == 0.0
 
 
+def test_kitti_eval_difficulty_bins():
+    """Easy GT counts in all bins; hard-only GT is ignored (not FP) in easy.
+
+    Two GTs: one easy (tall bbox, unoccluded), one hard (short bbox, occ 2).
+    Predictions hit both. Easy bin: the hard GT is ignored, so its matched
+    prediction is dropped (not an FP) -> AP stays 1. Hard bin: both count.
+    """
+    from dal3d_tpu.eval.kitti_eval import compute_difficulty
+
+    bbox = np.array([[0, 0, 50, 60], [0, 0, 50, 28]], np.float32)  # heights 60, 28
+    occluded = np.array([0, 2])
+    truncated = np.array([0.0, 0.4])
+    diff = compute_difficulty(bbox, occluded, truncated)
+    assert list(diff) == [0, 2]
+
+    gt = [{
+        "boxes": np.array([[0, 0, 0, 2, 4, 1.6, 0, 0, 0.0],
+                           [10, 5, 0, 2, 4, 1.6, 0, 0, 0.0]], np.float32),
+        "names": np.array(["Car", "Car"]),
+        "bbox": bbox, "occluded": occluded, "truncated": truncated,
+    }]
+    pred = [{
+        "boxes": gt[0]["boxes"].copy(),
+        "names": np.array(["Car", "Car"]),
+        "scores": np.array([0.9, 0.8], np.float32),
+    }]
+    r = kitti_eval(gt, pred, ["Car"])["results"]
+    assert r["Car_3d_easy_AP40"] > 0.95      # hard GT ignored, no FP
+    assert r["Car_3d_hard_AP40"] > 0.95      # both matched
+    assert "mAP_3d_moderate" in r and r["mAP_3d"] == r["mAP_3d_moderate"]
+
+    # a spurious extra prediction IS an FP in every bin
+    pred_fp = [dict(pred[0])]
+    pred_fp[0]["boxes"] = np.concatenate([pred[0]["boxes"],
+                                          [[30, 30, 0, 2, 4, 1.6, 0, 0, 0.0]]]).astype(np.float32)
+    pred_fp[0]["names"] = np.array(["Car"] * 3)
+    pred_fp[0]["scores"] = np.array([0.9, 0.8, 0.95], np.float32)
+    r2 = kitti_eval(gt, pred_fp, ["Car"])["results"]
+    assert r2["Car_3d_easy_AP40"] < r["Car_3d_easy_AP40"]
+
+
 def test_center_head_decode_and_loss():
     head = CenterHead(num_classes=(1, 2), share_conv_channel=16)
     bev = jnp.zeros((2, 16, 16, 32))
