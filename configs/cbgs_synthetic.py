@@ -15,12 +15,15 @@ _anchor = dict(type="anchor_generator_range", rotations=[0, 1.57], velocities=[0
 target_assigner = dict(
     type="iou",
     anchor_generators=[
+        # synthetic boxes have uniform random yaw: the production 0.6 match
+        # threshold leaves ~1 force-matched anchor per GT, so the smoke config
+        # uses looser thresholds to get a trainable positive set
         dict(**_anchor, sizes=[1.97, 4.63, 1.74], anchor_ranges=[-8, -8, -0.95, 8, 8, -0.95],
-             matched_threshold=0.6, unmatched_threshold=0.45, class_name="car"),
+             matched_threshold=0.4, unmatched_threshold=0.3, class_name="car"),
         dict(**_anchor, sizes=[0.67, 0.73, 1.77], anchor_ranges=[-8, -8, -0.935, 8, 8, -0.935],
-             matched_threshold=0.6, unmatched_threshold=0.4, class_name="pedestrian"),
+             matched_threshold=0.35, unmatched_threshold=0.2, class_name="pedestrian"),
         dict(**_anchor, sizes=[0.41, 0.41, 1.07], anchor_ranges=[-8, -8, -1.285, 8, 8, -1.285],
-             matched_threshold=0.6, unmatched_threshold=0.4, class_name="traffic_cone"),
+             matched_threshold=0.35, unmatched_threshold=0.2, class_name="traffic_cone"),
     ],
     sample_positive_fraction=-1,
     sample_size=512,
@@ -35,7 +38,7 @@ model = dict(
     type="FPNVoxelNet",
     reader=dict(type="VoxelFeatureExtractorV3", num_input_features=5),
     backbone=dict(type="FPNSpMiddleResNetFHD", num_input_features=5, ds_factor=8,
-                  voxel_caps=(4000, 2000, 1000, 1000)),
+                  voxel_caps=(8000, 4000, 2000, 2000)),
     neck=dict(type="RPN", layer_nums=[3, 3], ds_layer_strides=[1, 2],
               ds_num_filters=[64, 128], us_layer_strides=[1, 2],
               us_num_filters=[64, 64], num_input_features=256),
@@ -54,7 +57,7 @@ train_cfg = dict(assigner=assigner)
 test_cfg = dict(
     nms=dict(use_rotate_nms=True, nms_pre_max_size=128, nms_post_max_size=16,
              nms_iou_threshold=0.2),
-    score_threshold=0.1,
+    score_threshold=0.05,
     post_center_limit_range=[-10, -10, -5, 10, 10, 5],
     max_per_img=64,
 )
@@ -64,11 +67,14 @@ nsweeps = 1
 data_root = "data/synthetic"
 max_points = 30000
 
+# 0.125 m voxels -> (41, 128, 128) grid -> 16x16 anchor map (1 m anchor
+# spacing); at the smoke scale the coarser 0.25 m/8x8 grid leaves anchors
+# ~2 m apart and random-pose GTs unmatched (num_pos ~2)
 voxel_generator = dict(
     range=[-8.0, -8.0, -3.0, 8.0, 8.0, 1.0],
-    voxel_size=[0.25, 0.25, 0.1],
+    voxel_size=[0.125, 0.125, 0.1],
     max_points_in_voxel=5,
-    max_voxel_num=4000,
+    max_voxel_num=8000,
 )
 
 train_preprocessor = dict(

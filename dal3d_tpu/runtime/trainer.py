@@ -73,8 +73,9 @@ class Trainer:
         self.logger.info(f"initialized model: {n_params/1e6:.2f}M params")
         return self.state
 
-    def resume(self, epoch: Optional[int] = None):
-        self.state, meta = ckpt.load_checkpoint(self.work_dir, self.state, epoch)
+    def resume(self, epoch: Optional[int] = None, work_dir: Optional[str] = None):
+        """Resume from ``work_dir`` (defaults to the trainer's own)."""
+        self.state, meta = ckpt.load_checkpoint(work_dir or self.work_dir, self.state, epoch)
         self.epoch = int(meta.get("epoch", 0))
         self.logger.info(f"resumed from epoch {self.epoch} (step {int(self.state.step)})")
 

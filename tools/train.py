@@ -113,7 +113,11 @@ def main():
 
     trainer.init_state(jrandom.PRNGKey(args.seed or 0), sample_batch)
     if args.resume_from:
-        trainer.resume()
+        # value may be a checkpoint dir; bare flags/other strings fall back
+        # to resuming from work_dir
+        import os as _os
+        rd = args.resume_from if _os.path.isdir(str(args.resume_from)) else None
+        trainer.resume(work_dir=rd)
     elif args.load_from:
         trainer.load_from(args.load_from)
 

@@ -104,8 +104,9 @@ def main():
     state = create_bevfusion_state(model, optimizer, jrandom.PRNGKey(0), sample)
     step = make_bevfusion_train_step(model, optimizer, test_cfg)
     if args.resume_from:
-        state, meta = ckpt.load_checkpoint(work_dir, state)
-        logger.info(f"resumed epoch {meta.get('epoch')}")
+        rd = args.resume_from if os.path.isdir(str(args.resume_from)) else work_dir
+        state, meta = ckpt.load_checkpoint(rd, state)
+        logger.info(f"resumed epoch {meta.get('epoch')} from {rd}")
     elif args.load_from:
         state, _ = ckpt.load_checkpoint(args.load_from, state)
         logger.info(f"warm-started from {args.load_from}")
