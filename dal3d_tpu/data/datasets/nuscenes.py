@@ -129,31 +129,41 @@ class NuScenesDataset:
 
     # ------------------------------------------------------------------
     def load_infos(self, info_path: str):
+        """Load infos; in train mode apply CBGS class-balanced resampling.
+
+        CBGS semantics (reference det3d/datasets/nuscenes/nuscenes.py:68-103):
+        every frame is listed once per distinct class it contains, and each
+        class's frame list is then resampled so all classes contribute an
+        equal share (1/num_classes) of the epoch — rare-class frames get
+        duplicated, common-class frames get subsampled.
+        """
         with open(info_path, "rb") as f:
-            _infos_all = pickle.load(f)
-        self._nusc_infos_all = _infos_all
-        if not self.test_mode:
-            self.frac = int(len(_infos_all) * 0.25)
-            _cls_infos = {name: [] for name in self._class_names}
-            for info in _infos_all:
-                for name in set(info["gt_names"]):
-                    if name in self._class_names:
-                        _cls_infos[name].append(info)
-            duplicated = sum(len(v) for v in _cls_infos.values())
-            if duplicated == 0:
-                self._nusc_infos = list(_infos_all)
-                return
-            _cls_dist = {k: len(v) / duplicated for k, v in _cls_infos.items()}
-            self._nusc_infos = []
-            frac = 1.0 / len(self._class_names)
-            ratios = [frac / v if v > 0 else 0.0 for v in _cls_dist.values()]
-            for cls_infos, ratio in zip(_cls_infos.values(), ratios):
-                self._nusc_infos += np.random.choice(cls_infos, int(len(cls_infos) * ratio)).tolist()
-        else:
-            if isinstance(_infos_all, dict):
-                self._nusc_infos = [i for v in _infos_all.values() for i in v]
-            else:
-                self._nusc_infos = list(_infos_all)
+            all_infos = pickle.load(f)
+        self._nusc_infos_all = all_infos
+        if self.test_mode:
+            # eval infos may be stored as a dict of splits
+            self._nusc_infos = (
+                [i for v in all_infos.values() for i in v]
+                if isinstance(all_infos, dict) else list(all_infos)
+            )
+            return
+        self.frac = int(len(all_infos) * 0.25)  # reserve for reset()
+        per_class = {name: [] for name in self._class_names}
+        for info in all_infos:
+            for name in set(info["gt_names"]) & set(self._class_names):
+                per_class[name].append(info)
+        total = sum(len(v) for v in per_class.values())
+        if total == 0:  # no labels at all (e.g. unlabeled pool): keep as-is
+            self._nusc_infos = list(all_infos)
+            return
+        target_share = 1.0 / len(self._class_names)
+        resampled = []
+        for frames in per_class.values():
+            share = len(frames) / total
+            if share > 0:
+                take = int(len(frames) * target_share / share)
+                resampled += np.random.choice(frames, take).tolist()
+        self._nusc_infos = resampled
 
     def reset(self):
         random.shuffle(self._nusc_infos_all)
@@ -163,8 +173,12 @@ class NuScenesDataset:
         return len(self._nusc_infos)
 
     # ------------------------------------------------------------------
-    def get_sensor_data(self, idx: int) -> Dict[str, Any]:
-        info = self._nusc_infos[idx]
+    def get_sensor_data(self, idx: int, info: Optional[dict] = None) -> Dict[str, Any]:
+        """Run the pipeline for frame ``idx``; ``info`` overrides the stored
+        info dict (lets subclasses pass a modified copy without mutating
+        shared state — safe under multi-worker loaders)."""
+        if info is None:
+            info = self._nusc_infos[idx]
         res = {
             "lidar": {"type": "lidar", "points": None, "nsweeps": self.nsweeps},
             "metadata": {

@@ -32,11 +32,5 @@ class NuScenesPartialDataset(NuScenesDataset):
                 info["gt_boxes_velocity"] = np.asarray(info["gt_boxes_velocity"])[keep]
             if "gt_boxes_token" in info:
                 info["gt_boxes_token"] = np.asarray(info["gt_boxes_token"])[keep]
-            self._nusc_infos = list(self._nusc_infos)
-            orig = self._nusc_infos[idx]
-            self._nusc_infos[idx] = info
-            try:
-                return super().get_sensor_data(idx)
-            finally:
-                self._nusc_infos[idx] = orig
+            return super().get_sensor_data(idx, info=info)
         return super().get_sensor_data(idx)

@@ -66,25 +66,31 @@ class BaseSelector:
 
     @master_only
     def dump_file(self) -> None:
+        """Persist this round's selection: buffer JSON + subset infos pkl.
+
+        Both file formats are byte-compatible with the reference
+        (det3d/selectors/base_selector.py:57-76) because downstream tools —
+        tools/train.py's budget path rewrite and BEVFusion's create_data —
+        key off them.
+        """
         self.buffer.update(self.selected_index)
         dump(self.buffer, self.dump_file_name)
-        self.logger.info(f"update the buffer, and save as {self.dump_file_name}")
-        ext = os.path.splitext(self.infos_file)[-1]
-        replace_path = self.infos_file.replace(ext, f"_{self.current_budget}{ext}")
-        infos_sampled = [self.infos_origin[i] for i in self.buffer[str(self.current_budget)]]
-        dump(infos_sampled, replace_path)
-        self.logger.info(f"sample the {self.current_budget} infos and save as {replace_path}")
+        self.logger.info(f"buffer -> {self.dump_file_name}")
+        stem, ext = os.path.splitext(self.infos_file)
+        subset_path = f"{stem}_{self.current_budget}{ext}"
+        chosen = self.buffer[str(self.current_budget)]
+        dump([self.infos_origin[i] for i in chosen], subset_path)
+        self.logger.info(f"{len(chosen)} selected infos -> {subset_path}")
 
     def get_selected_samples(self):
         return self.selected_index
 
     def get_cost_amount(self) -> float:
-        cost = 0.0
-        sampled = [self.infos_origin[i] for i in self.buffer[self.get_max_key()]]
-        cost += self.cost_f * len(sampled)
-        for anno in sampled:
-            cost += len(anno["gt_names"]) * self.cost_b
-        return cost
+        """Annotation cost already spent on the current buffer (frames x
+        cost_f + boxes x cost_b, reference cost model :24-26)."""
+        idx = self.buffer[self.get_max_key()]
+        n_boxes = sum(len(self.infos_origin[i]["gt_names"]) for i in idx)
+        return self.cost_f * len(idx) + self.cost_b * n_boxes
 
     # ------------------------------------------------------------------
     # shared machinery for the concrete selectors

@@ -45,6 +45,7 @@ def test_bev_pool_batched_channel_collapse():
     assert out.shape == (B, n, n, 2 * C)
 
 
+@pytest.mark.slow
 def test_swin_tiny_shapes():
     model = SwinTransformer(embed_dim=24, depths=(1, 1, 2), num_heads=(2, 4, 8),
                             out_indices=(0, 1, 2), window_size=4)
@@ -75,6 +76,7 @@ def lidar_batch():
     }, jnp.asarray(gt), jnp.asarray(cls)
 
 
+@pytest.mark.slow
 def test_bevfusion_lidar_only_forward_and_loss(lidar_batch):
     batch, gt, cls = lidar_batch
     model = BEVFusion(
@@ -96,6 +98,7 @@ def test_bevfusion_lidar_only_forward_and_loss(lidar_batch):
     assert int(logs["num_matched"]) == 2
 
 
+@pytest.mark.slow
 def test_bevfusion_camera_lidar_forward(lidar_batch):
     batch, gt, cls = lidar_batch
     B, N = 1, 2
@@ -123,6 +126,7 @@ def test_bevfusion_camera_lidar_forward(lidar_batch):
     assert np.isfinite(np.asarray(preds["cls_logits"])).all()
 
 
+@pytest.mark.slow
 def test_bevfusion_train_step(lidar_batch):
     """Full jitted train step: loss decreases over a few steps."""
     from dal3d_tpu.runtime.bevfusion_steps import (

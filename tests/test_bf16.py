@@ -5,6 +5,9 @@ import jax.numpy as jnp
 
 from dal3d_tpu.ops.voxelize import VoxelConfig
 from dal3d_tpu.models import FPNVoxelNet
+import pytest
+
+pytestmark = pytest.mark.slow
 
 VCFG = VoxelConfig(
     point_cloud_range=(-8.0, -8.0, -3.0, 8.0, 8.0, 1.0),

@@ -107,6 +107,7 @@ def cam_dataset(tmp_path_factory):
     return root, info_path
 
 
+@pytest.mark.slow
 def test_camera_pipeline_end_to_end(cam_dataset):
     """Dataset + camera stages -> fixed-shape batch -> BEVFusion fusion forward."""
     import jax

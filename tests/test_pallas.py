@@ -4,6 +4,9 @@ import jax.numpy as jnp
 
 from dal3d_tpu.ops.distance import pairwise_l1, pairwise_l2
 from dal3d_tpu.ops.pallas_distance import pairwise_l1_pallas, pairwise_l2_pallas
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_pallas_l1_matches():

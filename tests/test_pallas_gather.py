@@ -7,6 +7,9 @@ import jax.numpy as jnp
 
 from dal3d_tpu.ops.pallas_gather import gather_gemm_pallas, gather_rows
 from dal3d_tpu.ops.sparse import gather_gemm
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_gather_rows_matches_take():

@@ -16,6 +16,8 @@ from dal3d_tpu.runtime import checkpoint as ckpt
 from dal3d_tpu.solver.optim import OneCycleSchedule, build_optimizer
 from dal3d_tpu.parallel.mesh import make_mesh, shard_batch
 
+pytestmark = pytest.mark.slow
+
 VCFG = VoxelConfig(
     point_cloud_range=(-8.0, -8.0, -3.0, 8.0, 8.0, 1.0),
     voxel_size=(0.5, 0.5, 0.1),  # grid 32x32x40 -> sparse (41,32,32)

@@ -28,6 +28,12 @@ def parse_args():
     p = argparse.ArgumentParser(description="Active-learning sample selection")
     p.add_argument("config", help="config file path")
     p.add_argument("--checkpoint", help="trained checkpoint work_dir (model-based selectors)")
+    p.add_argument(
+        "--force_random", action="store_true",
+        help="override the configured selector with RandomSelector (seed round: "
+        "the reference flow trains on a random seed buffer before the first "
+        "model-based selection, README.md:34-75)",
+    )
     p.add_argument("--seed", type=int, default=3407)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--cpu", action="store_true")
@@ -61,6 +67,15 @@ def main():
         init_sample_dataset(buffer_file)
         logger.info(f"initialized empty AL buffer at {buffer_file}; run round 0 training first")
         return
+
+    if args.force_random:
+        sel_cfg = {
+            "type": "RandomSelector",
+            **{k: sel_cfg[k] for k in (
+                "budget", "buffer_file", "dump_file_name", "infos_origin",
+                "cost_b", "cost_f",
+            ) if k in sel_cfg},
+        }
 
     selector_type = sel_cfg.get("type")
     score_fn = None

@@ -72,10 +72,13 @@ def main():
 
     detections = {}
     n_done = 0
+    feed_keys = ("points", "points_valid", "voxel_features", "voxel_coords", "voxel_valid")
     for batch in loader:
+        # pass host-voxelized features through (like active_select); dropping
+        # them would force the slower on-device grid voxelize path
         out = predict(
             state.params, state.batch_stats,
-            {"points": batch["points"], "points_valid": batch["points_valid"]},
+            {k: batch[k] for k in feed_keys if k in batch},
         )
         out = {k: np.asarray(v) for k, v in out.items()}
         for i, md in enumerate(batch["metadata"]):

@@ -1,6 +1,12 @@
 #!/usr/bin/env bash
 # Active-learning round driver (reference train.sh + tools/scripts/train.sh):
 # for each cumulative budget: select -> rebuild GT db for the subset -> train -> eval.
+#
+# Round 1 selects the seed buffer with RandomSelector (no model exists yet);
+# later rounds run the configured selector against the previous round's
+# checkpoint — the reference flow trains on a random seed buffer before the
+# first model-based selection (reference README.md:34-75).
+#
 # Usage: ./train.sh <config> <work_root> <budget_step> <rounds> [data_root]
 set -euo pipefail
 CONFIG=${1:?config}
@@ -9,7 +15,7 @@ STEP=${3:-600}
 ROUNDS=${4:-8}
 DATA_ROOT=${5:-data/nuScenes}
 
-python tools/active_select.py "$CONFIG"   # round 0: init buffer
+python tools/active_select.py "$CONFIG"   # round 0: init buffer {"0": []}
 for ((r=1; r<=ROUNDS; r++)); do
   BUDGET=$((STEP * r))
   echo "=== AL round $r (cumulative budget $BUDGET) ==="
@@ -17,7 +23,7 @@ for ((r=1; r<=ROUNDS; r++)); do
     PREV=$((STEP * (r-1)))
     python tools/active_select.py "$CONFIG" --checkpoint "$WORK/round$PREV"
   else
-    python tools/active_select.py "$CONFIG"
+    python tools/active_select.py "$CONFIG" --force_random  # seed round
   fi
   python tools/create_data.py nuscenes_data_prep --root_path "$DATA_ROOT" --suffix "$BUDGET"
   python tools/train.py "$CONFIG" --budget "$BUDGET" --work_dir "$WORK/round$BUDGET"
