@@ -42,13 +42,20 @@ def main():
 
     bundle = build_detector(cfg)
 
-    B, P, M = 2, 250_000, 60000
+    # B=4 saturates the chip (throughput is flat from B=2); B=8 overflows
+    # v5e-lite HBM with the brick engine's padded working set
+    B, P, M = int(os.environ.get("BENCH_B", 4)), 250_000, 60000
     rng = np.random.RandomState(0)
+    # lidar-like clouds (radial ground rings + walls + object clusters) — the
+    # clustering statistics match the real workload the brick engine's
+    # capacities are sized for; uniform-random points are unrepresentative
+    from tools.microbench import _lidar_cloud
+
     pts = np.zeros((B, P, 5), np.float32)
-    pts[..., 0] = rng.uniform(-50, 50, (B, P))
-    pts[..., 1] = rng.uniform(-50, 50, (B, P))
-    pts[..., 2] = rng.uniform(-4.9, 2.9, (B, P))
-    pts[..., 3] = rng.uniform(0, 255, (B, P))
+    for b in range(B):
+        p = _lidar_cloud(rng, P)
+        pts[b, : len(p), :3] = p
+        pts[b, : len(p), 3] = rng.uniform(0, 255, len(p))
     # host voxelization (native C++), overlapped with device compute in the
     # real loader; included here in the H2D payload
     from dal3d_tpu.native import host_ops

@@ -64,6 +64,11 @@ model = dict(
     backbone=dict(
         type="FPNSpMiddleResNetFHD", num_input_features=5, ds_factor=8,
         voxel_caps=(60000, 60000, 30000, 30000),
+        # brick engine (ops/sparse_brick.py): W-run packed gather-GEMM, tuned
+        # on-chip via tools/microbench.py + tools/profile_brick_ops.py
+        impl="brick", dtype="bfloat16",
+        brick_widths=(16, 16, 8, 4, 4),
+        brick_caps=(30000, 13000, 9000, 6000, 5000),
     ),
     neck=dict(
         type="RPN",

@@ -169,6 +169,14 @@ class NuScenesDataset:
         random.shuffle(self._nusc_infos_all)
         self._nusc_infos = self._nusc_infos_all[: self.frac]
 
+    @property
+    def infos(self) -> List[dict]:
+        return self._nusc_infos
+
+    @property
+    def class_names(self) -> List[str]:
+        return self._class_names
+
     def __len__(self):
         return len(self._nusc_infos)
 

@@ -69,6 +69,18 @@ class SparseBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, rulebook, train: bool):
+        from ...ops.sparse_brick import BrickBatch
+
+        if isinstance(x, BrickBatch):
+            identity = x.features
+            out = SubMConv(self.planes, use_bias=True, dtype=self.dtype)(x, rulebook)
+            f = nn.relu(MaskedBatchNorm()(out.feat4(), out.vmask, train))
+            out = out.replace(features=f.reshape(out.features.shape))
+            out = SubMConv(self.planes, use_bias=True, dtype=self.dtype)(out, rulebook)
+            f = MaskedBatchNorm()(out.feat4(), out.vmask, train)
+            f = nn.relu(f.reshape(out.features.shape) + identity)
+            f = jnp.where(jnp.repeat(out.vmask, self.planes, axis=-1), f, 0.0)
+            return out.replace(features=f)
         if isinstance(x, tuple):
             dense, occ = x
             identity = dense
@@ -127,10 +139,68 @@ class _Stage(nn.Module):
         return x.replace(features=nn.relu(f))
 
 
+class _BrickL0(nn.Module):
+    """Stem + 2 basic blocks + first downsample on the brick engine
+    (one remat unit; the shared subm rulebook is rebuilt in backward)."""
+
+    bw_out: int
+    out_cap: int
+    dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, bb, train: bool):
+        from ...ops import sparse_brick as spb
+
+        rb = spb.subm_rulebook(bb, 3)
+        x = SubMConv(16, use_bias=False, dtype=self.dtype)(bb, rb)
+        f = nn.relu(MaskedBatchNorm()(x.feat4(), x.vmask, train))
+        x = x.replace(features=f.reshape(x.features.shape))
+        x = SparseBasicBlock(16, dtype=self.dtype)(x, rb, train)
+        x = SparseBasicBlock(16, dtype=self.dtype)(x, rb, train)
+        x = SparseConvDown(
+            32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.out_cap,
+            use_bias=False, dtype=self.dtype, out_bw=self.bw_out,
+        )(x)
+        f = nn.relu(MaskedBatchNorm()(x.feat4(), x.vmask, train))
+        return x.replace(features=f.reshape(x.features.shape))
+
+
+class _BrickStage(nn.Module):
+    """N basic blocks at the current level, then a strided downsample."""
+
+    planes: int
+    out_planes: int
+    num_blocks: int
+    down_kernel: Tuple[int, int, int]
+    down_stride: Tuple[int, int, int]
+    down_padding: Tuple[int, int, int]
+    bw_out: int
+    out_cap: int
+    dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        from ...ops import sparse_brick as spb
+
+        if self.num_blocks > 0:
+            rb = spb.subm_rulebook(x, 3)
+            for _ in range(self.num_blocks):
+                x = SparseBasicBlock(self.planes, dtype=self.dtype)(x, rb, train)
+        x = SparseConvDown(
+            self.out_planes, self.down_kernel, self.down_stride, self.down_padding,
+            self.out_cap, use_bias=False, dtype=self.dtype, out_bw=self.bw_out,
+        )(x)
+        f = nn.relu(MaskedBatchNorm()(x.feat4(), x.vmask, train))
+        return x.replace(features=f.reshape(x.features.shape))
+
+
 class FPNSpMiddleResNetFHD(nn.Module):
     """Sparse backbone returning (dense BEV map, 4 intermediate sparse tensors).
 
     voxel_caps: static per-level active-site capacities after each downsample.
+    brick_widths / brick_caps: per-level brick widths and active-brick
+    capacities for impl="brick" (5 entries: input level + 4 downsample
+    outputs); widths are clamped to each level's W extent.
     """
 
     num_input_features: int = 5
@@ -141,11 +211,38 @@ class FPNSpMiddleResNetFHD(nn.Module):
     # dense-compute sparse-semantics from L1 down (the dense L0 working set
     # blows HBM; the dense L1+ kills the gather rulebook/plan costs);
     # "dense": dense everywhere (small grids only); "gather": rulebook
-    # gather-GEMM everywhere (lowest memory; BEVFusion's 1440x1440 grid)
+    # gather-GEMM everywhere (lowest memory; BEVFusion's 1440x1440 grid);
+    # "brick": W-run brick packing (tools/microbench-tuned; fastest, round 2)
     impl: str = "hybrid"
+    brick_widths: Sequence[int] = (16, 16, 8, 4, 4)
+    brick_caps: Sequence[int] = (30000, 13000, 9000, 6000, 5000)
 
     @nn.compact
     def __call__(self, sb: sp.SparseBatch, train: bool = False):
+        if self.impl == "brick":
+            from ...ops import sparse_brick as spb
+
+            D, H, W = sb.shape
+            # W extent per level: stage3 strides depth only, W stays at W/8
+            wexts = (W, W // 2, W // 4, W // 8, W // 8)
+            ws = [min(int(b), max(we, 1)) for b, we in zip(self.brick_widths, wexts)]
+            caps = [int(c) for c in self.brick_caps]
+            bb = spb.from_sparse(sb, bw=ws[0], mb_cap=caps[0])
+            L0 = nn.remat(_BrickL0, static_argnums=(2,))
+            x = L0(ws[1], caps[1], dtype=self.dtype, name="l0")(bb, train)
+            middle = [x]
+            Stage = nn.remat(_BrickStage, static_argnums=(2,))
+            x = Stage(32, 64, 2, (3, 3, 3), (2, 2, 2), (1, 1, 1), ws[2], caps[2],
+                      dtype=self.dtype, name="stage1")(x, train)
+            middle.append(x)
+            x = Stage(64, 128, 2, (3, 3, 3), (2, 2, 2), (0, 1, 1), ws[3], caps[3],
+                      dtype=self.dtype, name="stage2")(x, train)
+            middle.append(x)
+            x = Stage(128, 128, 2, (3, 1, 1), (2, 1, 1), (0, 0, 0), ws[4], caps[4],
+                      dtype=self.dtype, name="stage3")(x, train)
+            middle.append(x)
+            dense = spb.to_dense(x).astype(jnp.float32)
+            return dense, middle
         if self.impl == "hybrid":
             from ...ops.dense_sparse import to_dense_grid
 

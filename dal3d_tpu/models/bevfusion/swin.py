@@ -71,15 +71,33 @@ class WindowAttention(nn.Module):
         return nn.Dense(C)(out)
 
 
+class DropPath(nn.Module):
+    """Stochastic depth: drop the whole residual branch per sample
+    (timm drop_path; reference swint drop_path_rate 0.2,
+    configs/.../swint_v0p075/default.yaml:18)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.rate == 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+        return jnp.where(mask, x / keep, 0.0)
+
+
 class SwinBlock(nn.Module):
     dim: int
     num_heads: int
     window_size: int = 7
     shift: int = 0
     mlp_ratio: float = 4.0
+    drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         B, H, W, C = x.shape
         ws = self.window_size
         shortcut = x
@@ -102,12 +120,13 @@ class SwinBlock(nn.Module):
         x = window_reverse(attn, ws, B, H, W)
         if self.shift > 0:
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
-        x = shortcut + x
+        dp = DropPath(self.drop_path)
+        x = shortcut + dp(x, train)
         y = nn.LayerNorm()(x)
         y = nn.Dense(int(C * self.mlp_ratio))(y)
         y = nn.gelu(y)
         y = nn.Dense(C)(y)
-        return x + y
+        return x + dp(y, train)
 
 
 class PatchMerging(nn.Module):
@@ -135,14 +154,20 @@ class SwinTransformer(nn.Module):
     window_size: int = 7
     out_indices: Sequence[int] = (1, 2, 3)
     patch_size: int = 4
+    # stochastic depth, linearly scaled over all blocks (reference
+    # swint_v0p075/default.yaml:18 drop_path_rate 0.2)
+    drop_path_rate: float = 0.2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # patch embed
         x = nn.Conv(self.embed_dim, (self.patch_size,) * 2, strides=(self.patch_size,) * 2)(x)
         x = nn.LayerNorm()(x)
+        total = sum(self.depths)
+        dpr = np.linspace(0.0, self.drop_path_rate, total)
         outs = []
         dim = self.embed_dim
+        blk = 0
         for i, depth in enumerate(self.depths):
             if i > 0:
                 dim *= 2
@@ -153,7 +178,11 @@ class SwinTransformer(nn.Module):
             ph, pw = (-H) % ws, (-W) % ws
             xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
             for d in range(depth):
-                xp = SwinBlock(dim, self.num_heads[i], ws, shift=0 if d % 2 == 0 else ws // 2)(xp)
+                xp = SwinBlock(
+                    dim, self.num_heads[i], ws, shift=0 if d % 2 == 0 else ws // 2,
+                    drop_path=float(dpr[blk]),
+                )(xp, train)
+                blk += 1
             x = xp[:, :H, :W]
             if i in self.out_indices:
                 outs.append(nn.LayerNorm()(x))

@@ -8,8 +8,8 @@ Re-design of bevfusion/mmdet3d/models/heads/bbox/transfusion.py:37-851:
   the flattened BEV map with learned positional encodings,
 - FFN prediction branches per box parameter (center/height/dim/rot/vel/
   heatmap),
-- training: Hungarian assignment on a (focal-cls + L1-reg) cost via
-  scipy through jax.pure_callback (the [proposals, G] problem is tiny),
+- training: Hungarian assignment on the reference's full matching cost,
+  solved ON DEVICE by a jittable Jonker-Volgenant kernel (ops/lsa.py),
   then focal cls + L1 reg + gaussian-focal heatmap losses,
 - inference: decode to padded detections.
 """
@@ -20,7 +20,6 @@ from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from ..layers import BatchNorm2d, kaiming_conv_init
@@ -156,19 +155,6 @@ def transfusion_decode(preds: Dict[str, jnp.ndarray], cfg: TransFusionTestCfg):
     return {"box3d_lidar": boxes, "scores": scores, "label_preds": labels, "det_valid": valid}
 
 
-def _hungarian_np(cost: np.ndarray, n_valid_gt: np.ndarray) -> np.ndarray:
-    """cost [P, G] -> assigned gt index per proposal (-1 unassigned)."""
-    from scipy.optimize import linear_sum_assignment
-
-    P, G = cost.shape
-    g = int(n_valid_gt)
-    out = np.full(P, -1, np.int32)
-    if g > 0:
-        row, col = linear_sum_assignment(cost[:, :g])
-        out[row] = col
-    return out
-
-
 def transfusion_loss(
     preds: Dict[str, jnp.ndarray],
     gt_boxes: jnp.ndarray,  # [B, G, 9] padded (lidar frame)
@@ -177,9 +163,18 @@ def transfusion_loss(
     cls_weight: float = 1.0,
     bbox_weight: float = 0.25,
     heatmap_weight: float = 1.0,
+    code_weights: Tuple[float, ...] = (1.0,) * 8 + (0.2, 0.2),
+    gaussian_overlap: float = 0.1,
+    min_radius: int = 2,
+    cost_cls_weight: float = 0.15,
+    cost_reg_weight: float = 0.25,
+    cost_iou_weight: float = 0.25,
 ):
-    """Hungarian-matched losses (reference :588-714, simplified cost =
-    focal-cls + L1 on encoded boxes)."""
+    """Hungarian-matched losses with the reference's full matching cost
+    (bevfusion hungarian_assigner.py:82-124 + configs/.../transfusion/
+    default.yaml): FocalLossCost*0.15 + BBoxBEVL1Cost*0.25 + IoU3DCost*0.25,
+    gaussian-radius heatmap targets (transfusion.py:540-576) and
+    code-weighted L1 regression."""
     dec = transfusion_decode(preds, cfg)
     boxes = dec["box3d_lidar"]  # [B, P, 9]
     B, P = boxes.shape[:2]
@@ -188,20 +183,51 @@ def transfusion_loss(
 
     probs = jax.nn.sigmoid(preds["cls_logits"])  # [B, P, nc]
     gt_valid = gt_classes > 0
-    # cost: -prob[gt class] + L1(center)
     gcls = jnp.clip(gt_classes - 1, 0, nc - 1)
-    cls_cost = -jnp.take_along_axis(
-        probs[:, :, None, :], jnp.broadcast_to(gcls[:, None, :, None], (B, P, G, 1)), axis=-1
+
+    # FocalLossCost (mmdet): pos_cost - neg_cost at the gt class
+    eps = 1e-8
+    alpha, gamma = 0.25, 2.0
+    pos_cost = -jnp.log(probs + eps) * alpha * jnp.power(1 - probs, gamma)
+    neg_cost = -jnp.log(1 - probs + eps) * (1 - alpha) * jnp.power(probs, gamma)
+    focal_tbl = pos_cost - neg_cost  # [B, P, nc]
+    cls_cost = jnp.take_along_axis(
+        focal_tbl[:, :, None, :],
+        jnp.broadcast_to(gcls[:, None, :, None], (B, P, G, 1)), axis=-1,
     )[..., 0]
-    reg_cost = jnp.abs(boxes[:, :, None, :2] - gt_boxes[:, None, :, :2]).sum(-1)
-    cost = cls_cost * 15.0 + reg_cost
+
+    # BBoxBEVL1Cost: L1 on [0,1]-normalized BEV centers
+    span = 2 * abs(cfg.pc_range[0])  # symmetric range
+    nb = (boxes[..., :2] - jnp.asarray(cfg.pc_range)) / span
+    ng = (gt_boxes[..., :2] - jnp.asarray(cfg.pc_range)) / span
+    reg_cost = jnp.abs(nb[:, :, None] - ng[:, None, :]).sum(-1)
+
+    # IoU3DCost: -3D IoU (lidar frame; boxes_iou3d expects z = bottom)
+    from ...ops.rotated_iou import boxes_iou3d
+
+    def to_bottom(b):
+        return b.at[..., 2].add(-b[..., 5] / 2)
+
+    iou = jax.vmap(boxes_iou3d)(to_bottom(boxes), to_bottom(gt_boxes))  # [B, P, G]
+
+    cost = cost_cls_weight * cls_cost + cost_reg_weight * reg_cost - cost_iou_weight * iou
     cost = jnp.where(gt_valid[:, None, :], cost, 1e6)
 
-    assign = jax.pure_callback(
-        lambda c, n: np.stack([_hungarian_np(c[b], n[b]) for b in range(c.shape[0])]),
-        jax.ShapeDtypeStruct((B, P), np.int32),
-        jax.lax.stop_gradient(cost), gt_valid.sum(-1),  # assignment is non-differentiable
-    )
+    # Hungarian matching on device (ops/lsa.py) — the padded-invalid GT rows
+    # are constant (1e6) after the transpose, so they cannot perturb which
+    # proposals the valid rows take; they are masked out of `assign` below.
+    from ...ops.lsa import linear_sum_assignment
+
+    col4row = jax.vmap(linear_sum_assignment)(
+        jnp.swapaxes(jax.lax.stop_gradient(cost), 1, 2)  # [B, G, P]
+    )  # [B, G]: proposal index per gt
+    gidx = jnp.where(gt_valid, jnp.arange(G, dtype=jnp.int32), -1)
+    assign = jax.vmap(
+        # col4row may be -1 (more GT rows than proposals) -> dropped write
+        lambda c, g: jnp.full(P, -1, jnp.int32)
+        .at[jnp.where(c >= 0, c, P)]
+        .set(g, mode="drop")
+    )(col4row, gidx)
     matched = assign >= 0
     tgt_boxes = jnp.take_along_axis(gt_boxes, jnp.maximum(assign, 0)[..., None], axis=1)
     tgt_cls = jnp.take_along_axis(gt_classes, jnp.maximum(assign, 0), axis=1)  # 1-based
@@ -229,25 +255,32 @@ def transfusion_loss(
     pred_vec = jnp.concatenate(
         [preds["center"], preds["height"], preds["dim"], preds["rot"], preds["vel"]], axis=-1
     )
-    reg_loss = (jnp.abs(pred_vec - tgt) * matched[..., None]).sum() / jnp.maximum(
+    cw = jnp.asarray(code_weights, pred_vec.dtype)
+    reg_loss = (jnp.abs(pred_vec - tgt) * cw * matched[..., None]).sum() / jnp.maximum(
         matched.sum(), 1
     )
 
-    # heatmap gaussian-focal (simplified: focal vs. scattered gt centers)
+    # heatmap: gaussian-radius splat targets + penalty-reduced focal loss
+    # (reference transfusion.py:540-576 + GaussianFocalLoss)
+    from .gaussian import draw_gaussian_heatmap, gaussian_focal_loss, gaussian_radius
+
     hm = preds["heatmap"]
     Hh, Wh = hm.shape[1:3]
-    gx = ((gt_boxes[..., 0] - cfg.pc_range[0]) / (cfg.out_size_factor * cfg.voxel_size[0])).astype(jnp.int32)
-    gy = ((gt_boxes[..., 1] - cfg.pc_range[1]) / (cfg.out_size_factor * cfg.voxel_size[1])).astype(jnp.int32)
-    inb = gt_valid & (gx >= 0) & (gx < Wh) & (gy >= 0) & (gy < Hh)
-    lin = jnp.where(inb, (gy * Wh + gx) * nc + gcls, Hh * Wh * nc)
-
-    def scat(l):
-        return jnp.zeros((Hh * Wh * nc + 1,)).at[l].max(1.0, mode="drop")[:-1]
-
-    target_hm = jax.vmap(scat)(lin).reshape(B, Hh, Wh, nc)
-    hm_loss = sigmoid_focal_loss(
-        hm.reshape(B, -1, nc), target_hm.reshape(B, -1, nc), jnp.ones((B, Hh * Wh))
-    ).sum() / jnp.maximum(inb.sum(), 1)
+    f = cfg.out_size_factor
+    gx = (gt_boxes[..., 0] - cfg.pc_range[0]) / (f * cfg.voxel_size[0])
+    gy = (gt_boxes[..., 1] - cfg.pc_range[1]) / (f * cfg.voxel_size[1])
+    w_cells = gt_boxes[..., 3] / cfg.voxel_size[0] / f
+    l_cells = gt_boxes[..., 4] / cfg.voxel_size[1] / f
+    radius = jnp.maximum(
+        jnp.floor(gaussian_radius(l_cells, w_cells, gaussian_overlap)).astype(jnp.int32),
+        min_radius,
+    )
+    inb = gt_valid & (gx >= 0) & (gx < Wh) & (gy >= 0) & (gy < Hh) & (
+        w_cells > 0) & (l_cells > 0)
+    target_hm = draw_gaussian_heatmap(
+        jnp.stack([gx, gy], -1), radius, gcls, inb, Hh, Wh, nc
+    )
+    hm_loss = gaussian_focal_loss(hm, target_hm).sum() / jnp.maximum(inb.sum(), 1)
 
     total = cls_weight * cls_loss + bbox_weight * reg_loss + heatmap_weight * hm_loss
     return {"loss": total, "cls_loss": cls_loss, "reg_loss": reg_loss, "heatmap_loss": hm_loss,

@@ -94,6 +94,7 @@ def build_detector(cfg, train_cfg=None, test_cfg=None) -> DetectorBundle:
         ),
         max_per_img=int(tcfg.get("max_per_img", 500)),
         use_rotate_nms=bool(nms.get("use_rotate_nms", True)),
+        use_approx_topk=bool(nms.get("use_approx_topk", True)),
     )
 
     det_cls = DETECTORS.get(model_type)
@@ -113,6 +114,10 @@ def build_detector(cfg, train_cfg=None, test_cfg=None) -> DetectorBundle:
         rpn_ds_filters=tuple(neck_cfg.get("ds_num_filters", (128, 256))),
         rpn_us_strides=tuple(neck_cfg.get("us_layer_strides", (1, 2))),
         rpn_us_filters=tuple(neck_cfg.get("us_num_filters", (256, 256))),
+        backbone_impl=str(backbone_cfg.get("impl", "gather")),
+        backbone_dtype=str(backbone_cfg.get("dtype", "float32")),
+        brick_widths=tuple(backbone_cfg.get("brick_widths", (16, 16, 8, 4, 4))),
+        brick_caps=tuple(backbone_cfg.get("brick_caps", (30000, 13000, 9000, 6000, 5000))),
     )
 
     return DetectorBundle(

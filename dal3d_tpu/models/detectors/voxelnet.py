@@ -43,8 +43,10 @@ class FPNVoxelNet(nn.Module):
     sort_free_voxelize: bool = True
     # backbone compute dtype ("bfloat16" for the bandwidth-bound sparse path)
     backbone_dtype: str = "float32"
-    # "hybrid" (gather L0 + dense L1+; fastest on TPU), "dense", or "gather"
+    # "brick" (W-run packing; fastest), "hybrid", "dense", or "gather"
     backbone_impl: str = "gather"
+    brick_widths: Tuple[int, ...] = (16, 16, 8, 4, 4)
+    brick_caps: Tuple[int, ...] = (30000, 13000, 9000, 6000, 5000)
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, points_valid: jnp.ndarray, train: bool = False,
@@ -64,6 +66,7 @@ class FPNVoxelNet(nn.Module):
         dense, middle = FPNSpMiddleResNetFHD(
             num_input_features=self.num_input_features, voxel_caps=self.voxel_caps,
             dtype=self.backbone_dtype, impl=self.backbone_impl,
+            brick_widths=self.brick_widths, brick_caps=self.brick_caps,
         )(sb, train)
         RematRPN = nn.remat(RPN, static_argnums=(2,))
         neck = RematRPN(

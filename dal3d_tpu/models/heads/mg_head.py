@@ -116,6 +116,10 @@ class TestConfig:
     post_center_limit_range: Tuple[float, ...] = (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0)
     max_per_img: int = 500
     use_rotate_nms: bool = True
+    # approx_max_k for the ~196k -> nms_pre candidate prefilter: ~constant
+    # recall ratio (default 0.95) at a fraction of exact top_k's cost (exact
+    # top_k over 196k also costs ~190 s of compile time on this runtime)
+    use_approx_topk: bool = True
 
 
 def multi_group_predict(
@@ -149,7 +153,10 @@ def multi_group_predict(
         top_scores = scores.max(axis=-1) if nc > 1 else scores[..., 0]
         top_labels = scores.argmax(axis=-1) if nc > 1 else jnp.zeros(scores.shape[:2], jnp.int32)
         masked = jnp.where(top_scores >= cfg.score_threshold, top_scores, -jnp.inf)
-        csc, cidx = jax.lax.top_k(masked, pre)  # [B, pre]
+        if cfg.use_approx_topk and masked.shape[-1] > 4 * pre:
+            csc, cidx = jax.lax.approx_max_k(masked, pre)  # [B, pre]
+        else:
+            csc, cidx = jax.lax.top_k(masked, pre)  # [B, pre]
         cand_boxes.append(jnp.take_along_axis(decoded, cidx[..., None], axis=1))
         cand_scores.append(csc)
         cand_labels.append(jnp.take_along_axis(top_labels, cidx, axis=1) + label_offset)

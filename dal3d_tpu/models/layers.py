@@ -88,13 +88,31 @@ class SubMConv(nn.Module):
 
     @nn.compact
     def __call__(self, sb, rulebook=None):
-        """sb: SparseBatch (gather engine) or (dense, occ) tuple (dense engine)."""
+        """sb: SparseBatch (gather engine), BrickBatch (brick engine), or
+        (dense, occ) tuple (dense engine)."""
         from ..ops import sparse_backend as sp
+        from ..ops import sparse_brick as spb
         from ..ops.dense_sparse import subm_conv_dense
 
         import numpy as _np
 
         cdt = jnp.dtype(self.dtype)
+        if isinstance(sb, spb.BrickBatch):
+            ks = (self.kernel_size,) * 3 if isinstance(self.kernel_size, int) else self.kernel_size
+            K = int(_np.prod(ks))
+            cin = sb.channels
+            w = self.param("kernel", kaiming_conv_init(), (K, cin, self.features))
+            if cdt != sb.features.dtype:
+                sb = sb.replace(features=sb.features.astype(cdt))
+            out = spb.subm_conv(sb, w.astype(cdt), rulebook=rulebook, kernel_size=self.kernel_size)
+            if self.use_bias:
+                b = self.param("bias", nn.initializers.zeros, (self.features,))
+                bias_row = jnp.tile(b.astype(cdt), out.bw)
+                f = jnp.where(
+                    jnp.repeat(out.vmask, self.features, axis=-1), out.features + bias_row, 0.0
+                )
+                out = out.replace(features=f)
+            return out
         if isinstance(sb, tuple):
             dense, occ = sb
             cin = dense.shape[-1]
@@ -136,15 +154,34 @@ class SparseConvDown(nn.Module):
     out_cap: int = 60000
     use_bias: bool = False
     dtype: str = "float32"
+    out_bw: int = 0  # brick engine only: output brick width (0 = keep input's)
 
     @nn.compact
     def __call__(self, sb, grid=None):
         from ..ops import sparse_backend as sp
+        from ..ops import sparse_brick as spb
         from ..ops.dense_sparse import sparse_conv_down_dense
         import numpy as np
 
         K = int(np.prod(self.kernel_size))
         cdt = jnp.dtype(self.dtype)
+        if isinstance(sb, spb.BrickBatch):
+            cin = sb.channels
+            w = self.param("kernel", kaiming_conv_init(), (K, cin, self.features))
+            if cdt != sb.features.dtype:
+                sb = sb.replace(features=sb.features.astype(cdt))
+            out = spb.downsample_conv(
+                sb, w.astype(cdt), self.kernel_size, self.stride, self.padding,
+                out_bw=self.out_bw or sb.bw, out_cap=self.out_cap,
+            )
+            if self.use_bias:
+                b = self.param("bias", nn.initializers.zeros, (self.features,))
+                bias_row = jnp.tile(b.astype(cdt), out.bw)
+                f = jnp.where(
+                    jnp.repeat(out.vmask, self.features, axis=-1), out.features + bias_row, 0.0
+                )
+                out = out.replace(features=f)
+            return out
         if isinstance(sb, tuple):
             dense, occ = sb
             cin = dense.shape[-1]

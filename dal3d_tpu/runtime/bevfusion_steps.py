@@ -44,11 +44,14 @@ def create_bevfusion_state(model, optimizer, rng, sample_batch) -> TrainState:
 def make_bevfusion_train_step(model, optimizer, test_cfg: TransFusionTestCfg) -> Callable:
     def train_step(state: TrainState, batch: Dict[str, Any]):
         model_batch = {k: v for k, v in batch.items() if k not in ("gt_boxes", "gt_classes")}
+        # per-step dropout rng for Swin stochastic depth (drop_path 0.2)
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
 
         def loss_fn(params):
             preds, new_state = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 model_batch, True, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
             )
             logs = transfusion_loss(preds, batch["gt_boxes"], batch["gt_classes"], test_cfg)
             return logs["loss"], (logs, new_state)

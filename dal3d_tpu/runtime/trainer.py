@@ -117,16 +117,20 @@ class Trainer:
         train_loader_fn: Callable[[int], Iterable],
         total_epochs: int,
         val_fn: Optional[Callable[["Trainer"], Dict[str, float]]] = None,
+        val_interval: Optional[int] = None,
     ):
-        """Workflow [('train', total_epochs), ('val', 1)] (reference
-        trainer.py:526 run + configs' workflow)."""
+        """Workflow [('train', val_interval), ('val', 1)] cycled to
+        total_epochs (reference trainer.py:526 run + configs' workflow);
+        val_interval None -> val only after the final epoch."""
         assert self.state is not None, "call init_state or resume first"
+        result = None
         while self.epoch < total_epochs:
             stats = self.train_epoch(train_loader_fn(self.epoch))
             self.logger.info(f"Epoch {self.epoch} done: loss {stats.get('loss', float('nan')):.4f}")
             if self.epoch % self.checkpoint_interval == 0 or self.epoch == total_epochs:
                 ckpt.save_checkpoint(self.work_dir, self.state, self.epoch)
                 self.logger.info(f"saved checkpoint epoch {self.epoch}")
-        if val_fn is not None:
-            return val_fn(self)
-        return None
+            at_val = val_interval is not None and self.epoch % val_interval == 0
+            if val_fn is not None and (at_val or self.epoch == total_epochs):
+                result = val_fn(self)
+        return result

@@ -28,6 +28,8 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--n_model", type=int, default=1, help="model-axis size of the device mesh")
+    p.add_argument("--no_validate", action="store_true",
+                   help="skip the workflow's val phases")
     return p.parse_args()
 
 
@@ -121,7 +123,38 @@ def main():
     elif args.load_from:
         trainer.load_from(args.load_from)
 
-    trainer.run(loader_fn, total_epochs)
+    # in-training val workflow [('train', N), ('val', 1)] (reference
+    # trainer.py:453,526): run the eval pass every N train epochs
+    val_fn = None
+    val_interval = None
+    workflow = cfg.get("workflow")
+    if not args.no_validate and workflow and any(w[0] == "val" for w in workflow):
+        val_interval = next((int(n) for phase, n in workflow if phase == "train"), None)
+        val_data = dict(cfg.data["val"])
+        val_dataset = NuScenesDataset(
+            info_path=val_data["info_path"],
+            root_path=val_data.get("root_path", ""),
+            nsweeps=val_data.get("nsweeps", 10),
+            class_names=val_data.get("class_names"),
+            pipeline=[dict(s) for s in val_data.get("pipeline", [])],
+            tasks=[dict(t) for t in cfg.tasks],
+            max_points=cfg.get("max_points", 300000),
+            voxelize_host=dict(cfg.voxel_generator) if cfg.get("voxelize_host", True) else None,
+            test_mode=True,
+        )
+
+        def val_fn(trainer):
+            from dal3d_tpu.runtime.evaluation import evaluate_dataset
+
+            loader = DataLoader(val_dataset, batch_size, shuffle=False, drop_last=False)
+            result = evaluate_dataset(
+                trainer.predict_step, trainer.state.params, trainer.state.batch_stats,
+                val_dataset, loader, cfg.work_dir, logger=logger,
+            )
+            logger.info(f"val epoch {trainer.epoch}: {result}")
+            return result
+
+    trainer.run(loader_fn, total_epochs, val_fn=val_fn, val_interval=val_interval)
     logger.info("training done")
 
 
