@@ -30,25 +30,49 @@ def scale_iou(size_a: Sequence[float], size_b: Sequence[float]) -> float:
     return inter / union
 
 
+# detection_cvpr_2019 per-class eval ranges (devkit config); the reference
+# filters both box sets to these before matching (classwise_weight/
+# evaluate.py:93-96 filter_eval_boxes with self.cfg.class_range)
+CLASS_RANGE = {
+    "car": 50.0, "truck": 50.0, "bus": 50.0, "trailer": 50.0,
+    "construction_vehicle": 50.0, "pedestrian": 40.0, "motorcycle": 40.0,
+    "bicycle": 40.0, "traffic_cone": 30.0, "barrier": 30.0,
+}
+
+
 def accumulate_matches(
     ref_frames: Dict[str, dict],
     pred_frames: Dict[str, dict],
     class_names: List[str],
-    dist_th: float = 2.0,
+    dist_th: float = 1.0,
+    class_range: Dict[str, float] = None,
 ) -> Dict[str, dict]:
     """Greedy confidence-ordered matching per class.
+
+    dist_th 1.0 m and the per-class range filter replicate the reference
+    exactly (classwise_weight/evaluate.py:116 hardcodes dist_th=1.0 with the
+    cfg.dist_ths sweep commented out). Range filtering uses BEV distance from
+    the lidar origin — the devkit's ego_dist in the frame our boxes live in.
 
     ref_frames / pred_frames: token -> dict(boxes [N, >=7] (x,y,... first two
     are the match centers), names [N] str, scores [N]; ref score defaults 1.0
     for GT). Returns token -> {name, detection_score, iou, ref_score} lists.
     """
+    if class_range is None:
+        class_range = CLASS_RANGE
     dict_p_iou: Dict[str, dict] = {}
     for class_name in class_names:
+        max_range = float(class_range.get(class_name, np.inf))
         # flatten all predictions of this class, sort by confidence desc
         entries = []
         for token, pf in pred_frames.items():
             names = np.asarray(pf["names"])
+            if len(names) == 0:
+                continue
+            boxes = np.asarray(pf["boxes"], np.float64).reshape(len(names), -1)
             for i in np.flatnonzero(names == class_name):
+                if np.hypot(boxes[i, 0], boxes[i, 1]) > max_range:
+                    continue
                 entries.append((float(pf["scores"][i]), token, int(i)))
         entries.sort(key=lambda e: -e[0])
 
@@ -65,6 +89,8 @@ def accumulate_matches(
                 if (token, int(gi)) in taken:
                     continue
                 gbox = np.asarray(rf["boxes"][gi])
+                if np.hypot(gbox[0], gbox[1]) > max_range:  # range-filtered ref
+                    continue
                 d = float(np.hypot(pbox[0] - gbox[0], pbox[1] - gbox[1]))
                 if d < best_d:
                     best_d, best = d, int(gi)

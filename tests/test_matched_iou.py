@@ -42,6 +42,36 @@ def test_accumulate_greedy_one_to_one():
     assert d["t0"]["detection_score"][0] == pytest.approx(0.9)
 
 
+def test_reference_matching_semantics():
+    """Oracle for the reference's exact matching rules: dist_th=1.0 default
+    (classwise_weight/evaluate.py:116) + detection_cvpr_2019 per-class range
+    filtering (evaluate.py:93-96)."""
+    # default threshold is 1.0 m: a 1.5 m-off pred no longer matches
+    gt = frames([[0, 0, 0, 2, 4, 2, 0, 0, 0]], ["car"])
+    pred = frames([[1.5, 0, 0, 2, 4, 2, 0, 0, 0]], ["car"], scores=[0.9])
+    assert accumulate_matches(gt, pred, ["car"]) == {}
+    pred = frames([[0.8, 0, 0, 2, 4, 2, 0, 0, 0]], ["car"], scores=[0.9])
+    assert len(accumulate_matches(gt, pred, ["car"])["t0"]["name"]) == 1
+
+    # class ranges: a barrier at 35 m (> 30 m range) is filtered on BOTH
+    # sides; a car at 35 m (< 50 m range) still matches
+    gt = frames([[35, 0, 0, 1, 2, 1, 0, 0, 0], [35, 5, 0, 2, 4, 2, 0, 0, 0]],
+                ["barrier", "car"])
+    pred = frames([[35.2, 0, 0, 1, 2, 1, 0, 0, 0], [35.2, 5, 0, 2, 4, 2, 0, 0, 0]],
+                  ["barrier", "car"], scores=[0.9, 0.9])
+    d = accumulate_matches(gt, pred, ["barrier", "car"])
+    assert d["t0"]["name"] == ["car"]
+
+    # greedy order + taken set still hold under the tight threshold: two preds
+    # at 0.4 m / 0.6 m from one gt -> only the higher-scored matches
+    gt = frames([[0, 0, 0, 2, 4, 2, 0, 0, 0]], ["car"])
+    pred = frames([[0.4, 0, 0, 2, 4, 2, 0, 0, 0], [0.6, 0, 0, 2, 4, 2, 0, 0, 0]],
+                  ["car", "car"], scores=[0.5, 0.9])
+    d = accumulate_matches(gt, pred, ["car"])
+    assert len(d["t0"]["name"]) == 1
+    assert d["t0"]["detection_score"][0] == pytest.approx(0.9)
+
+
 def test_ppal_weights_monotone():
     d = {"t0": {"name": ["car", "ped"], "detection_score": [0.9, 0.3],
                 "iou": [0.9, 0.3], "ref_score": [1, 1]}}

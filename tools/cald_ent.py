@@ -21,7 +21,7 @@ def main():
     p.add_argument("--pred_list_aug", default="pred_list-aug.pkl", help="augmented-input predictions")
     p.add_argument("--sorted_out", default="cald_ent_sorted_idx.json")
     p.add_argument("--jsdiv_out", default="idx_to_jsdiv.pkl")
-    p.add_argument("--dist_th", type=float, default=2.0)
+    p.add_argument("--dist_th", type=float, default=1.0)  # reference classwise_weight/evaluate.py:116
     args = p.parse_args()
 
     from dal3d_tpu.eval.matched_iou import (

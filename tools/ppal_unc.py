@@ -18,7 +18,7 @@ def main():
     p.add_argument("config")
     p.add_argument("--pred_list", default="pred_list.pkl")
     p.add_argument("--out", default="diff_category_average.json")
-    p.add_argument("--dist_th", type=float, default=2.0)
+    p.add_argument("--dist_th", type=float, default=1.0)  # reference classwise_weight/evaluate.py:116
     args = p.parse_args()
 
     from dal3d_tpu.eval.matched_iou import (
