@@ -42,9 +42,9 @@ def main():
 
     bundle = build_detector(cfg)
 
-    # B=4 saturates the chip (throughput is flat from B=2); B=8 overflows
-    # v5e-lite HBM with the brick engine's padded working set
-    B, P, M = int(os.environ.get("BENCH_B", 4)), 250_000, 60000
+    # B=2 per chip; larger batches overflow v5e-lite HBM at the honest
+    # (non-truncating) brick capacities, and throughput is flat in B anyway
+    B, P, M = int(os.environ.get("BENCH_B", 2)), 250_000, 60000
     rng = np.random.RandomState(0)
     # lidar-like clouds (radial ground rings + walls + object clusters) — the
     # clustering statistics match the real workload the brick engine's
@@ -83,9 +83,9 @@ def main():
     optimizer = build_optimizer(OneCycleSchedule(total_steps=100))
     state = create_train_state(bundle, optimizer, jax.random.PRNGKey(0), batch)
     predict = make_predict_step(bundle)
-    pb = {k: batch[k] for k in (
-        "points", "points_valid", "voxel_features", "voxel_coords", "voxel_valid"
-    )}
+    # raw points omitted: with host voxels in the feed they would only add
+    # ~10 MB/call of H2D traffic the model never reads
+    pb = {k: batch[k] for k in ("voxel_features", "voxel_coords", "voxel_valid")}
 
     # warmup / compile (force a value fetch: block_until_ready is a no-op on
     # relayed TPU backends)

@@ -68,7 +68,7 @@ model = dict(
         # on-chip via tools/microbench.py + tools/profile_brick_ops.py
         impl="brick", dtype="bfloat16",
         brick_widths=(16, 16, 8, 4, 4),
-        brick_caps=(30000, 13000, 9000, 6000, 5000),
+        brick_caps=(48000, 17000, 10000, 6000, 6000),
     ),
     neck=dict(
         type="RPN",

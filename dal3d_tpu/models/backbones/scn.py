@@ -215,19 +215,23 @@ class FPNSpMiddleResNetFHD(nn.Module):
     # "brick": W-run brick packing (tools/microbench-tuned; fastest, round 2)
     impl: str = "hybrid"
     brick_widths: Sequence[int] = (16, 16, 8, 4, 4)
-    brick_caps: Sequence[int] = (30000, 13000, 9000, 6000, 5000)
+    brick_caps: Sequence[int] = (48000, 17000, 10000, 6000, 6000)
 
     @nn.compact
     def __call__(self, sb: sp.SparseBatch, train: bool = False):
         if self.impl == "brick":
             from ...ops import sparse_brick as spb
 
-            D, H, W = sb.shape
+            raw = isinstance(sb, tuple)  # (vf, vc zyx, valid, shape) fast path
+            D, H, W = sb[3] if raw else sb.shape
             # W extent per level: stage3 strides depth only, W stays at W/8
             wexts = (W, W // 2, W // 4, W // 8, W // 8)
             ws = [min(int(b), max(we, 1)) for b, we in zip(self.brick_widths, wexts)]
             caps = [int(c) for c in self.brick_caps]
-            bb = spb.from_sparse(sb, bw=ws[0], mb_cap=caps[0])
+            bb = (
+                spb.from_voxels(sb[0], sb[1], sb[2], (D, H, W), bw=ws[0], mb_cap=caps[0])
+                if raw else spb.from_sparse(sb, bw=ws[0], mb_cap=caps[0])
+            )
             L0 = nn.remat(_BrickL0, static_argnums=(2,))
             x = L0(ws[1], caps[1], dtype=self.dtype, name="l0")(bb, train)
             middle = [x]

@@ -46,7 +46,7 @@ class FPNVoxelNet(nn.Module):
     # "brick" (W-run packing; fastest), "hybrid", "dense", or "gather"
     backbone_impl: str = "gather"
     brick_widths: Tuple[int, ...] = (16, 16, 8, 4, 4)
-    brick_caps: Tuple[int, ...] = (30000, 13000, 9000, 6000, 5000)
+    brick_caps: Tuple[int, ...] = (48000, 17000, 10000, 6000, 6000)
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, points_valid: jnp.ndarray, train: bool = False,
@@ -56,13 +56,16 @@ class FPNVoxelNet(nn.Module):
         cfg = self.voxel_cfg
         if voxels is not None:
             vf, vc, vv = voxels
-            sb = sp.from_voxels(vf, vc, vv, cfg.sparse_shape)
         else:
             vox_fn = voxelize_mean_grid if self.sort_free_voxelize else voxelize_mean
             vox = jax.vmap(lambda p, v: vox_fn(p, v, cfg))(points, points_valid)
-            sb = sp.from_voxels(
-                vox["features"], vox["coordinates"], vox["voxel_valid"], cfg.sparse_shape
-            )
+            vf, vc, vv = vox["features"], vox["coordinates"], vox["voxel_valid"]
+        if self.backbone_impl == "brick":
+            # brick engine packs straight from (unordered) voxel lists — the
+            # sorted SparseBatch build (argsort over max_voxel_num) is skipped
+            sb = (vf, vc, vv, tuple(cfg.sparse_shape))
+        else:
+            sb = sp.from_voxels(vf, vc, vv, cfg.sparse_shape)
         dense, middle = FPNSpMiddleResNetFHD(
             num_input_features=self.num_input_features, voxel_caps=self.voxel_caps,
             dtype=self.backbone_dtype, impl=self.backbone_impl,

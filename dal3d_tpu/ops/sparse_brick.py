@@ -22,11 +22,15 @@ Data model (static shapes end-to-end):
                             sentinel = D*H*(W/bw) on padding rows
   vmask     [B, Mb, bw]     exact spconv per-voxel active mask
 
-A 3x3x3 submanifold conv:
-  - 27 row-gathers per output brick (9 (dz,dy) x 3 w-neighbor bricks)
-  - ONE MXU contraction: Y = einsum('bkjmx,kjxy->bmy', gathered, W_band)
-    where W_band [9, 3, bw*Cin, bw*Cout] scatters the [27, Cin, Cout]
-    kernel onto w-banded blocks (built per call from params; a few MB).
+A 3x3x3 submanifold conv (halo-padded formulation):
+  - rows are first halo-padded to [Mb, (bw+2)*C] by splicing in the last/
+    first column of the left/right w-neighbor brick (2 narrow C-wide
+    gathers) — the w-halo then lives IN the row, so the conv needs only
+    9 full-row gathers (the (dz,dy) neighbors), not 27 (9 x 3 w-bricks):
+    2.5x fewer gathered rows on the row-issue-bound path.
+  - ONE MXU contraction: Y = einsum('bkmx,kxy->bmy', gathered, W_band)
+    where W_band [9, (bw+2)*Cin, bw*Cout] scatters the [27, Cin, Cout]
+    kernel onto w-shifted blocks (built per call from params; a few MB).
 
 Strided ("SparseConv3d") downsample: the output active-brick set is planned
 with a reduce_window max over the dense *brick* occupancy grid (a
@@ -126,6 +130,19 @@ def _gather_rows(rows: jnp.ndarray, idx: jnp.ndarray, hit: jnp.ndarray):
     return g.reshape(B, Q, M, R)
 
 
+def _gather_rows_m(rows: jnp.ndarray, idx: jnp.ndarray, hit: jnp.ndarray):
+    """rows [B, Mb, R], idx/hit [B, Q, M] -> [B, M, Q*R] (m-major: row m is
+    the concatenation of its Q gathered taps, so the conv collapses to ONE
+    [B*M, Q*R] x [Q*R, out] matmul — better MXU shape than Q batched ones)."""
+    B, Mb, R = rows.shape
+    Q, M = idx.shape[1], idx.shape[2]
+    tbl = jnp.concatenate([rows, jnp.zeros((B, 1, R), rows.dtype)], axis=1)
+    safe = jnp.where(hit, idx, Mb)
+    safe = jnp.swapaxes(safe, 1, 2).reshape(B, M * Q, 1)  # [B, M*Q, 1]
+    g = jnp.take_along_axis(tbl, safe, axis=1)
+    return g.reshape(B, M, Q * R)
+
+
 def _compact_cells(cells: jnp.ndarray, nbc: int, cap: int) -> jnp.ndarray:
     """Dedup + compact a cell list [N] (sentinel nbc = invalid) to [cap].
 
@@ -156,40 +173,63 @@ def _wb_span(kw: int, bw: int):
     return list(range(-r, r + 1)) if hw > 0 else [0]
 
 
-def _band_matrix(Kzy: int, kw: int, sw: int, pw: int, b0: int, nwb: int,
-                 bw_in: int, obw: int, weights: jnp.ndarray) -> jnp.ndarray:
-    """Banded weight matrix [Kzy, nwb, bw_in*Cin, obw*Cout] from a
-    [Kzy*kw, Cin, Cout] kernel.
+def halo_indices(bb: BrickBatch, grid: jnp.ndarray | None = None):
+    """(idx [B, 2, Mb], hit): rows of the left/right w-neighbor bricks."""
+    if grid is None:
+        grid = build_brick_grid(bb)
+    deltas = np.array([[0, 0, -1], [0, 0, 1]])
+    return _neighbor_lookup(
+        bb.brick_lin, grid, deltas, (bb.shape[0], bb.shape[1], bb.wb)
+    )
 
-    Output main col p with w-tap dw reads the input voxel at window-relative
-    position r = sw*p - pw + dw - b0*bw_in, i.e. brick jb = r // bw_in,
-    column r - jb*bw_in. The [Cin, Cout] kernel block for (k_zy, dw) lands at
-    band[k_zy, jb, (r - jb*bw_in)*Cin + ci, p*Cout + co]."""
+
+def _halo_pad(rows: jnp.ndarray, bw: int, hidx: jnp.ndarray, hhit: jnp.ndarray):
+    """rows [B, Mb, bw*C] -> [B, Mb, (bw+2)*C]: splice the last column of the
+    left brick and the first column of the right brick into each row (2
+    full-row gathers + slice — a narrow C-wide table would lane-pad 8x)."""
+    B, Mb, R = rows.shape
+    C = R // bw
+    tbl = jnp.concatenate([rows, jnp.zeros((B, 1, R), rows.dtype)], axis=1)
+    lrow = jnp.where(hhit[:, 0], hidx[:, 0], Mb)
+    rrow = jnp.where(hhit[:, 1], hidx[:, 1], Mb)
+    left = jnp.take_along_axis(tbl, lrow[..., None], axis=1)[..., R - C:]
+    right = jnp.take_along_axis(tbl, rrow[..., None], axis=1)[..., :C]
+    return jnp.concatenate([left, rows, right], axis=-1)
+
+
+def _halo_band(Kzy: int, kw: int, bw: int, weights: jnp.ndarray) -> jnp.ndarray:
+    """[Kzy, (bw+2)*Cin, bw*Cout] banded weights for halo-padded rows.
+
+    Padded column j holds input voxel w = j-1 (j=0 left halo, j=bw+1 right
+    halo); output col p with w-tap dw reads padded col p + dw - hw + 1."""
     Cin, Cout = weights.shape[-2], weights.shape[-1]
-    S = np.zeros((kw, nwb, bw_in, obw), np.float32)
+    hw = (kw - 1) // 2
+    assert hw <= 1, f"halo formulation supports kw<=3, got {kw}"
+    S = np.zeros((kw, bw + 2, bw), np.float32)
     for dw in range(kw):
-        for p in range(obw):
-            r = sw * p - pw + dw - b0 * bw_in
-            jb, j = r // bw_in, r % bw_in
-            if 0 <= jb < nwb:
-                S[dw, jb, j, p] = 1.0
+        for p in range(bw):
+            S[dw, p + dw - hw + 1, p] = 1.0
     wk = weights.reshape(Kzy, kw, Cin, Cout)
-    band = jnp.einsum("djwp,kdio->kjwipo", jnp.asarray(S, weights.dtype), wk)
-    return band.reshape(Kzy, nwb, bw_in * Cin, obw * Cout)
+    band = jnp.einsum("dwp,kdio->kwipo", jnp.asarray(S, weights.dtype), wk)
+    return band.reshape(Kzy, (bw + 2) * Cin, bw * Cout)
 
 
 def subm_rulebook(bb: BrickBatch, kernel_size, grid: jnp.ndarray | None = None):
-    """(idx [B, Q, Mb], hit) with Q = kd*kh*nwb; Q-major order (dz, dy, dwb)."""
-    kd, kh, kw = _triple(kernel_size)
+    """(idx [B, Kzy, Mb], hit, halo_idx [B, 2, Mb], halo_hit): the (dz, dy)
+    neighbor rows plus the left/right halo rows (w-taps live in-row)."""
+    kd, kh, _ = _triple(kernel_size)
     if grid is None:
         grid = build_brick_grid(bb)
     dzs = np.arange(kd) - (kd - 1) // 2
     dys = np.arange(kh) - (kh - 1) // 2
-    dwbs = np.array(_wb_span(kw, bb.bw))
-    deltas = np.stack(np.meshgrid(dzs, dys, dwbs, indexing="ij"), -1).reshape(-1, 3)
-    return _neighbor_lookup(
+    deltas = np.stack(
+        np.meshgrid(dzs, dys, np.zeros(1, np.int64), indexing="ij"), -1
+    ).reshape(-1, 3)
+    idx, hit = _neighbor_lookup(
         bb.brick_lin, grid, deltas, (bb.shape[0], bb.shape[1], bb.wb)
     )
+    hidx, hhit = halo_indices(bb, grid)
+    return idx, hit, hidx, hhit
 
 
 def subm_conv(bb: BrickBatch, weights: jnp.ndarray, rulebook=None,
@@ -199,20 +239,16 @@ def subm_conv(bb: BrickBatch, weights: jnp.ndarray, rulebook=None,
     kd, kh, kw = _triple(kernel_size)
     if rulebook is None:
         rulebook = subm_rulebook(bb, kernel_size)
-    idx, hit = rulebook
+    idx, hit, hidx, hhit = rulebook
     bw, C = bb.bw, bb.channels
     Cout = weights.shape[-1]
     B, Mb = bb.brick_lin.shape
-    hw = (kw - 1) // 2
-    dwbs = _wb_span(kw, bw)
-    nwb = len(dwbs)
     Kzy = kd * kh
 
-    g = _gather_rows(bb.features, idx, hit).reshape(B, Kzy, nwb, Mb, bw * C)
-    # subm maps onto the downsample formulation with s=1, p=hw, first brick
-    # dwbs[0]: r = p + dw - hw - dwbs[0]*bw
-    band = _band_matrix(Kzy, kw, 1, hw, dwbs[0], nwb, bw, bw, weights)
-    out = jnp.einsum("bkjmx,kjxy->bmy", g, band, preferred_element_type=jnp.float32)
+    padded = _halo_pad(bb.features, bw, hidx, hhit)  # [B, Mb, (bw+2)*C]
+    g = _gather_rows(padded, idx, hit)  # [B, Kzy, Mb, (bw+2)*C]
+    band = _halo_band(Kzy, kw, bw, weights)
+    out = jnp.einsum("bkmx,kxy->bmy", g, band, preferred_element_type=jnp.float32)
     out = out.astype(bb.features.dtype)
     out = out * jnp.repeat(bb.vmask, Cout, axis=-1)  # zero ghosts
     return bb.replace(features=out)
@@ -238,8 +274,12 @@ def downsample_plan(bb: BrickBatch, kernel_size, stride, padding, out_bw: int,
     )
     A = (sw * out_bw) // bw  # input-brick advance per output brick
     w_start, w_end = -pw, sw * (out_bw - 1) - pw + kw - 1
-    b0 = w_start // bw  # floor
-    nwb = (w_end // bw) - b0 + 1
+    # (b0h, nwb_h): halo-padded bricks covering the window for the GATHER —
+    # padded brick b spans voxels [b*bw - 1, b*bw + bw], so fewer bricks
+    # (and so fewer gathered rows) cover the same [w_start, w_end]
+    assert pw <= 1, f"halo downsample supports padding_w<=1, got {pw}"
+    b0h = (w_start + 1) // bw  # floor; covers w_start via its left halo
+    nwb_h = max(1, -(-(w_end - b0h * bw) // bw))
     Wbo = Wo // out_bw
     nbc_out = Do * Ho * Wbo
 
@@ -247,9 +287,16 @@ def downsample_plan(bb: BrickBatch, kernel_size, stride, padding, out_bw: int,
     # out brick (zo,yo,wbo) reads input bricks (sd*zo-pd+dz, sh*yo-ph+dy,
     # A*wbo+b0+j); inverting, each input brick feeds at most ceil(k/s)
     # outputs per dim — enumerate those candidates and dedup-compact.
+    # The w window is EXTENDED by one output voxel each side (b0e/nwbe): an
+    # output brick must also materialize when its halo voxel (the edge voxel
+    # of the w-neighbor output brick) is active, for downstream halo-padded
+    # gathers (same dilation rule as from_voxels, expressed on the input set).
+    w_start_e, w_end_e = -sw - pw, sw * out_bw - pw + kw - 1
+    b0e = w_start_e // bw
+    nwbe = (w_end_e // bw) - b0e + 1
     nz_c = -(-kd // sd)
     ny_c = -(-kh // sh)
-    nw_c = -(-nwb // A)
+    nw_c = -(-nwbe // A)
     cand_offs = np.stack(
         np.meshgrid(np.arange(nz_c), np.arange(ny_c), np.arange(nw_c), indexing="ij"),
         -1,
@@ -261,15 +308,15 @@ def downsample_plan(bb: BrickBatch, kernel_size, stride, padding, out_bw: int,
         zi, yi, wi = _decode(lin, H, Wb)
         zo = (zi + pd) // sd - cand_j[:, 0:1]
         yo = (yi + ph) // sh - cand_j[:, 1:2]
-        wo = jnp.floor_divide(wi - b0, A) - cand_j[:, 2:3]
+        wo = jnp.floor_divide(wi - b0e, A) - cand_j[:, 2:3]
         okz = (zo >= 0) & (zo < Do) & (sd * zo - pd <= zi[None, :]) & (
             zi[None, :] <= sd * zo - pd + kd - 1
         )
         oky = (yo >= 0) & (yo < Ho) & (sh * yo - ph <= yi[None, :]) & (
             yi[None, :] <= sh * yo - ph + kh - 1
         )
-        okw = (wo >= 0) & (wo < Wbo) & (A * wo + b0 <= wi[None, :]) & (
-            wi[None, :] <= A * wo + b0 + nwb - 1
+        okw = (wo >= 0) & (wo < Wbo) & (A * wo + b0e <= wi[None, :]) & (
+            wi[None, :] <= A * wo + b0e + nwbe - 1
         )
         ok = okz & oky & okw & (lin < nbc_in)[None, :]
         cells = jnp.where(ok, (zo * Ho + yo) * Wbo + wo, nbc_out)
@@ -277,10 +324,10 @@ def downsample_plan(bb: BrickBatch, kernel_size, stride, padding, out_bw: int,
 
     out_lin = jax.vmap(out_actives)(bb.brick_lin)
 
-    # --- rulebook -----------------------------------------------------------
+    # --- rulebook (halo-padded input bricks) -------------------------------
     grid = build_brick_grid(bb)
     taps = np.stack(
-        np.meshgrid(np.arange(kd), np.arange(kh), np.arange(nwb), indexing="ij"), -1
+        np.meshgrid(np.arange(kd), np.arange(kh), np.arange(nwb_h), indexing="ij"), -1
     ).reshape(-1, 3)
     taps_j = jnp.asarray(taps)
     nbc_in = bb.num_cells
@@ -289,7 +336,7 @@ def downsample_plan(bb: BrickBatch, kernel_size, stride, padding, out_bw: int,
         zo, yo, wbo = _decode(olin, Ho, Wbo)
         zi = sd * zo[None, :] - pd + taps_j[:, 0:1]
         yi = sh * yo[None, :] - ph + taps_j[:, 1:2]
-        wi = A * wbo[None, :] + b0 + taps_j[:, 2:3]
+        wi = A * wbo[None, :] + b0h + taps_j[:, 2:3]
         inb = (
             (zi >= 0) & (zi < D) & (yi >= 0) & (yi < H) & (wi >= 0) & (wi < Wb)
             & (olin < nbc_out)[None, :]
@@ -298,8 +345,19 @@ def downsample_plan(bb: BrickBatch, kernel_size, stride, padding, out_bw: int,
         return g[qcell]
 
     idx = jax.vmap(per_batch)(out_lin, grid)
-    meta = dict(kd=kd, kh=kh, kw=kw, sw=sw, pw=pw, b0=b0, nwb=nwb)
-    return out_lin, jnp.maximum(idx, 0), idx >= 0, (Do, Ho, Wo), meta
+    hidx, hhit = halo_indices(bb, grid)
+    meta = dict(kd=kd, kh=kh, kw=kw, sw=sw, pw=pw, b0h=b0h, nwb_h=nwb_h)
+    return out_lin, jnp.maximum(idx, 0), idx >= 0, (Do, Ho, Wo), meta, hidx, hhit
+
+
+def _down_tap(sw: int, pw: int, dw: int, p: int, b0h: int, nwb_h: int, bw: int):
+    """(jb, col): covering halo-padded brick + padded column of input voxel
+    r = sw*p - pw + dw. Padded brick b0h+jb spans [.. *bw - 1, .. *bw + bw]."""
+    r = sw * p - pw + dw
+    jb = min(max((r - b0h * bw) // bw, 0), nwb_h - 1)
+    col = r - (b0h + jb) * bw + 1
+    assert 0 <= col <= bw + 1, (r, jb, col)
+    return jb, col
 
 
 def downsample_conv(bb: BrickBatch, weights: jnp.ndarray, kernel_size, stride,
@@ -307,33 +365,65 @@ def downsample_conv(bb: BrickBatch, weights: jnp.ndarray, kernel_size, stride,
     """Strided (non-submanifold) sparse conv; weights [kd*kh*kw, Cin, Cout]."""
     if plan is None:
         plan = downsample_plan(bb, kernel_size, stride, padding, out_bw, out_cap)
-    out_lin, idx, hit, out_shape, meta = plan
+    out_lin, idx, hit, out_shape, meta, hidx, hhit = plan
     kd, kh, kw, sw, pw = meta["kd"], meta["kh"], meta["kw"], meta["sw"], meta["pw"]
-    b0, nwb = meta["b0"], meta["nwb"]
+    b0h, nwb_h = meta["b0h"], meta["nwb_h"]
     Kzy = kd * kh
     bw, C = bb.bw, bb.channels
-    Cout = weights.shape[-1]
+    Cin, Cout = weights.shape[-2], weights.shape[-1]
     B, Mo = out_lin.shape
 
-    g = _gather_rows(bb.features, idx, hit).reshape(B, Kzy, nwb, Mo, bw * C)
-    band = _band_matrix(Kzy, kw, sw, pw, b0, nwb, bw, out_bw, weights)
-    out = jnp.einsum("bkjmx,kjxy->bmy", g, band, preferred_element_type=jnp.float32)
+    # ONE m-major gather carries features AND a validity segment per row
+    # (the separate vmask gather would double the gathered-row count, and
+    # rows are what this path is bound by); ONE combined matmul then yields
+    # [conv output | per-voxel validity] — the validity block of the band is
+    # the unweighted tap-indicator.
+    R = bw * C
+    R2 = (bw + 2) * (C + 1)
+    rows_v = jnp.concatenate(
+        [bb.features, bb.vmask.astype(bb.features.dtype)], axis=-1
+    )  # [B, Mb, R + bw]
+    B_, Mb = bb.brick_lin.shape
+    tbl = jnp.concatenate([rows_v, jnp.zeros((B_, 1, R + bw), rows_v.dtype)], axis=1)
+    lrow = jnp.where(hhit[:, 0], hidx[:, 0], Mb)
+    rrow = jnp.where(hhit[:, 1], hidx[:, 1], Mb)
+    left = jnp.take_along_axis(tbl, lrow[..., None], axis=1)
+    right = jnp.take_along_axis(tbl, rrow[..., None], axis=1)
+    padded = jnp.concatenate([
+        left[..., R - C:R], bb.features, right[..., :C],      # (bw+2)*C feats
+        left[..., R + bw - 1:], rows_v[..., R:], right[..., R:R + 1],  # bw+2 valid
+    ], axis=-1)  # [B, Mb, R2]
 
-    # exact per-voxel validity: vmask through the same (unweighted) band
-    gv = _gather_rows(bb.vmask.astype(jnp.float32), idx, hit).reshape(
-        B, Kzy, nwb, Mo, bw
-    )
-    Sv = np.zeros((nwb, bw, out_bw), np.float32)
+    Q = idx.shape[1]  # Kzy * nwb_h
+    g = _gather_rows_m(padded, idx, hit)  # [B, Mo, Q*R2]
+
+    S = np.zeros((kw, nwb_h, bw + 2, out_bw), np.float32)
     for dw in range(kw):
         for p in range(out_bw):
-            r = sw * p - pw + dw - b0 * bw
-            jb, j = r // bw, r % bw
-            if 0 <= jb < nwb:
-                Sv[jb, j, p] = 1.0
-    out_v = jnp.einsum("bkjmw,jwp->bmp", gv, jnp.asarray(Sv))
+            jb, col = _down_tap(sw, pw, dw, p, b0h, nwb_h, bw)
+            S[dw, jb, col, p] = 1.0
+    wk = weights.reshape(Kzy, kw, Cin, Cout)
+    band_f = jnp.einsum("djwp,kdio->kjwipo", jnp.asarray(S, weights.dtype), wk)
+    band_f = band_f.reshape(Kzy, nwb_h, (bw + 2) * Cin, out_bw * Cout)
+    dt = weights.dtype
+    top = jnp.concatenate(
+        [band_f, jnp.zeros((Kzy, nwb_h, (bw + 2) * Cin, out_bw), dt)], axis=-1
+    )
+    bv = jnp.broadcast_to(
+        jnp.asarray(S.sum(0), dt)[None], (Kzy, nwb_h, bw + 2, out_bw)
+    )
+    bot = jnp.concatenate(
+        [jnp.zeros((Kzy, nwb_h, bw + 2, out_bw * Cout), dt), bv], axis=-1
+    )
+    bigband = jnp.concatenate([top, bot], axis=2).reshape(
+        Q * R2, out_bw * Cout + out_bw
+    )
+    out_all = jnp.einsum("bmx,xy->bmy", g, bigband, preferred_element_type=jnp.float32)
+    out = out_all[..., : out_bw * Cout]
+    out_v = out_all[..., out_bw * Cout:]
     Do, Ho, Wo = out_shape
     nbc_out = Do * Ho * (Wo // out_bw)
-    vmask_out = (out_v > 0.0) & (out_lin < nbc_out)[..., None]
+    vmask_out = (out_v > 0.5) & (out_lin < nbc_out)[..., None]
 
     out = out.astype(bb.features.dtype)
     out = out * jnp.repeat(vmask_out, Cout, axis=-1)
@@ -358,23 +448,36 @@ def from_voxels(features: jnp.ndarray, coords_zyx: jnp.ndarray, valid: jnp.ndarr
     cell = (z * H + y) * Wb + x // bw
     cell = jnp.where(valid, cell, nbc).astype(jnp.int32)
     wpos = (x % bw).astype(jnp.int32)
+    # halo dilation: a brick whose halo column holds an active voxel must be
+    # materialized (vmask-empty) so the halo-padded gathers can read it —
+    # exactly the bricks adjacent to voxels sitting on a brick edge
+    dil_l = jnp.where(valid & (wpos == 0) & (x // bw > 0), cell - 1, nbc)
+    dil_r = jnp.where(valid & (wpos == bw - 1) & (x // bw < Wb - 1), cell + 1, nbc)
+    cand = jnp.concatenate([cell, dil_l.astype(jnp.int32), dil_r.astype(jnp.int32)], -1)
 
-    def per_batch(cell, wpos, feat, vld):
-        brick_lin = _compact_cells(cell, nbc, mb_cap)
+    def per_batch(cand, cell, wpos, feat, vld):
+        brick_lin = _compact_cells(cand, nbc, mb_cap)
         grid = _grid_from_lin(brick_lin, nbc, mb_cap)
         row = grid[cell]
         ok = (row >= 0) & vld
-        tgt = jnp.where(ok, row * bw + wpos, mb_cap * bw).astype(jnp.int32)
-        # validity rides along as an extra channel: one scatter, not two
+        # row-wise scatter-ADD into the final w-major layout: each voxel's
+        # update row is its (C+1) features placed at column wpos*(C+1) (via a
+        # one-hot outer product); voxels of one brick occupy disjoint column
+        # slices, so the adds compose the row. A per-voxel scatter into a
+        # [mb_cap*bw, C+1] buffer instead lane-pads (C+1)->128 and memsets
+        # ~400 MB; this buffer is [mb_cap, bw*(C+1)] = a few MB, aligned.
         fv = jnp.concatenate(
-            [jnp.where(vld[:, None], feat, 0.0), ok[:, None].astype(feat.dtype)], axis=-1
-        )
-        buf = jnp.zeros((mb_cap * bw + 1, C + 1), feat.dtype).at[tgt].set(
-            fv, mode="drop"
+            [jnp.where(ok[:, None], feat, 0.0), ok[:, None].astype(feat.dtype)], axis=-1
+        )  # [N, C+1]
+        onehot = jax.nn.one_hot(wpos, bw, dtype=feat.dtype)  # [N, bw]
+        updates = (onehot[:, :, None] * fv[:, None, :]).reshape(-1, bw * (C + 1))
+        tgt = jnp.where(ok, row, mb_cap).astype(jnp.int32)
+        buf = jnp.zeros((mb_cap + 1, bw * (C + 1)), feat.dtype).at[tgt].add(
+            updates, mode="drop"
         )[:-1].reshape(mb_cap, bw, C + 1)
         return buf[..., :C].reshape(mb_cap, bw * C), brick_lin, buf[..., C] > 0
 
-    feats, lins, vmasks = jax.vmap(per_batch)(cell, wpos, features, valid)
+    feats, lins, vmasks = jax.vmap(per_batch)(cand, cell, wpos, features, valid)
     return BrickBatch(features=feats, brick_lin=lins, vmask=vmasks, shape=(D, H, W), bw=bw)
 
 

@@ -24,10 +24,14 @@ def predict_dataset(
     log_every: int = 0,
 ) -> Dict[str, dict]:
     """Run the jitted predict step over a loader; returns token->detection."""
-    feed_keys = ("points", "points_valid", "voxel_features", "voxel_coords", "voxel_valid")
     detections: Dict[str, dict] = {}
     n_done = 0
     for batch in loader:
+        # host-voxelized batches: skip the raw-point H2D payload entirely
+        feed_keys = (
+            ("voxel_features", "voxel_coords", "voxel_valid")
+            if "voxel_features" in batch else ("points", "points_valid")
+        )
         out = predict(params, batch_stats, {k: batch[k] for k in feed_keys if k in batch})
         out = {k: np.asarray(v) for k, v in out.items()}
         for i, md in enumerate(batch["metadata"]):

@@ -107,9 +107,17 @@ def make_predict_step(bundle) -> Callable:
             (batch["voxel_features"], batch["voxel_coords"], batch["voxel_valid"])
             if "voxel_features" in batch else None
         )
+        if voxels is not None and "points" not in batch:
+            # host-voxelized feed: the raw point cloud is not needed (and at
+            # 250k pts x 5 x f32 it would dominate the H2D payload)
+            B = voxels[0].shape[0]
+            points = jnp.zeros((B, 1, model.num_input_features), jnp.float32)
+            points_valid = jnp.zeros((B, 1), bool)
+        else:
+            points, points_valid = batch["points"], batch["points_valid"]
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["points"], batch["points_valid"], False,
+            points, points_valid, False,
             voxels=voxels,
         )
         dets = multi_group_predict(out["preds"], task_anchors, box_coder, test_cfg)

@@ -116,7 +116,10 @@ def main():
         predict = make_predict_step(bundle)
 
         def score_fn(batch):
-            keys = ("points", "points_valid", "voxel_features", "voxel_coords", "voxel_valid")
+            keys = (
+                ("voxel_features", "voxel_coords", "voxel_valid")
+                if "voxel_features" in batch else ("points", "points_valid")
+            )
             return predict(
                 state.params, state.batch_stats,
                 {k: batch[k] for k in keys if k in batch},

@@ -72,10 +72,14 @@ def main():
 
     detections = {}
     n_done = 0
-    feed_keys = ("points", "points_valid", "voxel_features", "voxel_coords", "voxel_valid")
     for batch in loader:
         # pass host-voxelized features through (like active_select); dropping
-        # them would force the slower on-device grid voxelize path
+        # them would force the slower on-device grid voxelize path. Raw
+        # points are omitted when voxels exist (H2D payload).
+        feed_keys = (
+            ("voxel_features", "voxel_coords", "voxel_valid")
+            if "voxel_features" in batch else ("points", "points_valid")
+        )
         out = predict(
             state.params, state.batch_stats,
             {k: batch[k] for k in feed_keys if k in batch},

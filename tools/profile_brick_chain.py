@@ -37,8 +37,10 @@ def main():
 
     shape = (41, 1024, 1024)
     args = (jnp.asarray(vf, jnp.bfloat16), jnp.asarray(vc), jnp.asarray(vv))
-    widths = (16, 16, 8, 4, 4)
-    caps = (30000, 13000, 9000, 6000, 5000)
+    widths = tuple(int(v) for v in os.environ.get("BRICK_W", "16,16,8,4,4").split(","))
+    caps = tuple(int(v) for v in os.environ.get(
+        "BRICK_CAPS", "48000,17000,10000,6000,6000").split(","))
+    print("widths", widths, "caps", caps)
     rngw = np.random.RandomState(1)
 
     def w(k, i, o):

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Per-op on-chip timing of the brick engine at production scale."""
+"""Per-op on-chip timing of the (halo) brick engine at production scale."""
 import os
 import sys
 import time
@@ -17,7 +17,7 @@ def timeit(name, fn, force, n=5):
         out = fn()
     force(out)
     dt = (time.perf_counter() - t0) / n
-    print(f"{name:40s} {dt*1e3:8.2f} ms")
+    print(f"{name:44s} {dt*1e3:8.2f} ms")
     return out
 
 
@@ -31,6 +31,8 @@ def main():
     from tools.microbench import _lidar_cloud
 
     B, M = 2, 60000
+    BW = int(os.environ.get("BW", 16))
+    CAP = int(os.environ.get("CAP", 48000))
     rng = np.random.RandomState(0)
     vf = np.zeros((B, M, 5), np.float32)
     vc = np.zeros((B, M, 3), np.int32)
@@ -50,17 +52,18 @@ def main():
     vf_j, vc_j, vv_j = jnp.asarray(vf, jnp.bfloat16), jnp.asarray(vc), jnp.asarray(vv)
 
     fsum = lambda bb: float(jnp.asarray(bb.features, jnp.float32).sum())
+    gsum = lambda g: float(jnp.asarray(g, jnp.float32).sum())
 
-    pack = jax.jit(lambda f, c, v: spb.from_voxels(f, c, v, shape, 32, 18000))
-    bb = timeit("from_voxels (pack, bw32 cap18k)", lambda: pack(vf_j, vc_j, vv_j), fsum)
+    pack = jax.jit(lambda f, c, v: spb.from_voxels(f, c, v, shape, BW, CAP))
+    bb = timeit(f"from_voxels (pack, bw{BW} cap{CAP})",
+                lambda: pack(vf_j, vc_j, vv_j), fsum)
     print("  active bricks:", int((np.asarray(bb.brick_lin[0]) < bb.num_cells).sum()),
           int((np.asarray(bb.brick_lin[1]) < bb.num_cells).sum()))
 
     rb_fn = jax.jit(lambda bb: spb.subm_rulebook(bb, 3))
-    rb = timeit("subm_rulebook L0", lambda: rb_fn(bb),
+    rb = timeit("subm_rulebook L0 (9 taps + halo)", lambda: rb_fn(bb),
                 lambda r: float(r[0].sum()))
 
-    C16 = jnp.asarray(np.random.randn(60000 * 0 + 18000, 1), jnp.bfloat16)  # noqa
     w16 = jnp.asarray(np.random.randn(27, 16, 16) * 0.1, jnp.bfloat16)
     w5_16 = jnp.asarray(np.random.randn(27, 5, 16) * 0.1, jnp.bfloat16)
 
@@ -70,40 +73,34 @@ def main():
     conv = jax.jit(lambda bb, rb, w: spb.subm_conv(bb, w, rulebook=rb, kernel_size=3))
     timeit("subm conv 16->16 (shared rulebook)", lambda: conv(bb16, rb, w16), fsum)
 
-    # gather-only: isolate the gather from the einsum
-    def gather_only(bb, rb):
-        idx, hit = rb
-        return spb._gather_rows(bb.features, idx, hit)
-    go = jax.jit(gather_only)
-    timeit("  gather 27x18k rows (512ch)", lambda: go(bb16, rb),
-           lambda g: float(jnp.asarray(g, jnp.float32).sum()))
+    idx, hit, hidx, hhit = rb
+    pad_fn = jax.jit(lambda bb: spb._halo_pad(bb.features, bb.bw, hidx, hhit))
+    padded = timeit("  halo_pad (2 narrow gathers + concat)",
+                    lambda: pad_fn(bb16), gsum)
 
-    wdown = jnp.asarray(np.random.randn(27, 16, 32) * 0.1, jnp.bfloat16)
-    plan_fn = jax.jit(lambda bb: spb.downsample_plan(bb, (3, 3, 3), (2, 2, 2), (1, 1, 1), 32, 16000))
+    go = jax.jit(lambda p: spb._gather_rows(p, idx, hit))
+    g = timeit(f"  gather 9 x {CAP} padded rows",
+               lambda: go(padded), gsum)
+
+    Kzy = 9
+    band = spb._halo_band(Kzy, 3, bb16.bw, w16)
+    ein = jax.jit(lambda g, band: jnp.einsum(
+        "bkmx,kxy->bmy",
+        g.reshape(B, Kzy, CAP, (BW + 2) * 16), band,
+        preferred_element_type=jnp.float32))
+    timeit("  einsum band contraction", lambda: ein(g, band), gsum)
+
+    # downsample L0 -> L1
+    w_d1 = jnp.asarray(np.random.randn(27, 16, 32) * 0.1, jnp.bfloat16)
+    OBW = int(os.environ.get("OBW", 16))
+    OCAP = int(os.environ.get("OCAP", 17000))
+    plan_fn = jax.jit(lambda bb: spb.downsample_plan(
+        bb, (3, 3, 3), (2, 2, 2), (1, 1, 1), OBW, OCAP))
     plan = timeit("downsample_plan L0->L1", lambda: plan_fn(bb16),
                   lambda p: float(p[0].sum()))
     down = jax.jit(lambda bb, w: spb.downsample_conv(
-        bb, w, (3, 3, 3), (2, 2, 2), (1, 1, 1), 32, 16000))
-    bb1 = timeit("downsample_conv L0->L1 (incl plan)", lambda: down(bb16, wdown), fsum)
-    print("  L1 active bricks:", int((np.asarray(bb1.brick_lin[0]) < bb1.num_cells).sum()))
-
-    w32 = jnp.asarray(np.random.randn(27, 32, 32) * 0.1, jnp.bfloat16)
-    rb1 = jax.jit(lambda bb: spb.subm_rulebook(bb, 3))(bb1)
-    timeit("subm conv 32->32 @L1 (shared rb)", lambda: conv(bb1, rb1, w32), fsum)
-
-    w64 = jnp.asarray(np.random.randn(27, 32, 64) * 0.1, jnp.bfloat16)
-    down2 = jax.jit(lambda bb, w: spb.downsample_conv(
-        bb, w, (3, 3, 3), (2, 2, 2), (1, 1, 1), 16, 12000))
-    bb2 = timeit("downsample_conv L1->L2", lambda: down2(bb1, w64), fsum)
-    print("  L2 active bricks:", int((np.asarray(bb2.brick_lin[0]) < bb2.num_cells).sum()))
-
-    w6464 = jnp.asarray(np.random.randn(27, 64, 64) * 0.1, jnp.bfloat16)
-    rb2 = jax.jit(lambda bb: spb.subm_rulebook(bb, 3))(bb2)
-    timeit("subm conv 64->64 @L2 (shared rb)", lambda: conv(bb2, rb2, w6464), fsum)
-
-    dense = jax.jit(spb.to_dense)
-    timeit("to_dense @L2", lambda: dense(bb2),
-           lambda d: float(jnp.asarray(d, jnp.float32).sum()))
+        bb, w, (3, 3, 3), (2, 2, 2), (1, 1, 1), OBW, OCAP))
+    timeit("downsample_conv L0->L1 (incl plan)", lambda: down(bb16, w_d1), fsum)
 
 
 if __name__ == "__main__":
