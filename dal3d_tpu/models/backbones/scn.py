@@ -151,7 +151,8 @@ class _BrickL0(nn.Module):
     def __call__(self, bb, train: bool):
         from ...ops import sparse_brick as spb
 
-        rb = spb.subm_rulebook(bb, 3)
+        grid = spb.build_brick_grid(bb)  # shared: rulebook + downsample plan
+        rb = spb.subm_rulebook(bb, 3, grid)
         x = SubMConv(16, use_bias=False, dtype=self.dtype)(bb, rb)
         f = nn.relu(MaskedBatchNorm()(x.feat4(), x.vmask, train))
         x = x.replace(features=f.reshape(x.features.shape))
@@ -160,7 +161,7 @@ class _BrickL0(nn.Module):
         x = SparseConvDown(
             32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.out_cap,
             use_bias=False, dtype=self.dtype, out_bw=self.bw_out,
-        )(x)
+        )(x, grid=grid)
         f = nn.relu(MaskedBatchNorm()(x.feat4(), x.vmask, train))
         return x.replace(features=f.reshape(x.features.shape))
 
@@ -182,14 +183,15 @@ class _BrickStage(nn.Module):
     def __call__(self, x, train: bool):
         from ...ops import sparse_brick as spb
 
+        grid = spb.build_brick_grid(x)  # shared: rulebook + downsample plan
         if self.num_blocks > 0:
-            rb = spb.subm_rulebook(x, 3)
+            rb = spb.subm_rulebook(x, 3, grid)
             for _ in range(self.num_blocks):
                 x = SparseBasicBlock(self.planes, dtype=self.dtype)(x, rb, train)
         x = SparseConvDown(
             self.out_planes, self.down_kernel, self.down_stride, self.down_padding,
             self.out_cap, use_bias=False, dtype=self.dtype, out_bw=self.bw_out,
-        )(x)
+        )(x, grid=grid)
         f = nn.relu(MaskedBatchNorm()(x.feat4(), x.vmask, train))
         return x.replace(features=f.reshape(x.features.shape))
 

@@ -172,7 +172,7 @@ class SparseConvDown(nn.Module):
                 sb = sb.replace(features=sb.features.astype(cdt))
             out = spb.downsample_conv(
                 sb, w.astype(cdt), self.kernel_size, self.stride, self.padding,
-                out_bw=self.out_bw or sb.bw, out_cap=self.out_cap,
+                out_bw=self.out_bw or sb.bw, out_cap=self.out_cap, grid=grid,
             )
             if self.use_bias:
                 b = self.param("bias", nn.initializers.zeros, (self.features,))

@@ -259,7 +259,7 @@ def _out_dim(n: int, k: int, s: int, p: int) -> int:
 
 
 def downsample_plan(bb: BrickBatch, kernel_size, stride, padding, out_bw: int,
-                    out_cap: int):
+                    out_cap: int, grid: jnp.ndarray | None = None):
     """Plan a strided sparse conv in brick space. Returns
     (out_lin [B, Mo], idx [B, Q, Mo], hit, out_shape, meta)."""
     kd, kh, kw = _triple(kernel_size)
@@ -325,7 +325,8 @@ def downsample_plan(bb: BrickBatch, kernel_size, stride, padding, out_bw: int,
     out_lin = jax.vmap(out_actives)(bb.brick_lin)
 
     # --- rulebook (halo-padded input bricks) -------------------------------
-    grid = build_brick_grid(bb)
+    if grid is None:
+        grid = build_brick_grid(bb)
     taps = np.stack(
         np.meshgrid(np.arange(kd), np.arange(kh), np.arange(nwb_h), indexing="ij"), -1
     ).reshape(-1, 3)
@@ -361,10 +362,11 @@ def _down_tap(sw: int, pw: int, dw: int, p: int, b0h: int, nwb_h: int, bw: int):
 
 
 def downsample_conv(bb: BrickBatch, weights: jnp.ndarray, kernel_size, stride,
-                    padding, out_bw: int, out_cap: int, plan=None) -> BrickBatch:
+                    padding, out_bw: int, out_cap: int, plan=None,
+                    grid: jnp.ndarray | None = None) -> BrickBatch:
     """Strided (non-submanifold) sparse conv; weights [kd*kh*kw, Cin, Cout]."""
     if plan is None:
-        plan = downsample_plan(bb, kernel_size, stride, padding, out_bw, out_cap)
+        plan = downsample_plan(bb, kernel_size, stride, padding, out_bw, out_cap, grid)
     out_lin, idx, hit, out_shape, meta, hidx, hhit = plan
     kd, kh, kw, sw, pw = meta["kd"], meta["kh"], meta["kw"], meta["sw"], meta["pw"]
     b0h, nwb_h = meta["b0h"], meta["nwb_h"]
