@@ -13,6 +13,8 @@ model = dict(
     decoder_channels=(32, 64),
     image_size=(32, 48),
     camera_out_channels=16,
+    # BEV map segmentation on the fused map (LoadBEVSegmentation targets)
+    with_map_seg=True,
 )
 
 _classes = ["car", "pedestrian", "traffic_cone"]
@@ -31,6 +33,8 @@ train_pipeline = [
          bot_pct_lim=(0.0, 0.0), rot_lim=(-5.4, 5.4), rand_flip=True),
     dict(type="GridMask", prob=0.3, ratio=0.5),
     dict(type="ImageNormalize"),
+    # map-mask targets over the scene extent at the fused-BEV resolution
+    dict(type="LoadBEVSegmentation", xbound=(-8.0, 8.0, 2.0), ybound=(-8.0, 8.0, 2.0)),
     dict(type="ReformatCamera", final_dim=(32, 48)),
     dict(type="ReformatFixedShape", max_gt=32),
 ]

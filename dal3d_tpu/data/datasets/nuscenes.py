@@ -71,6 +71,10 @@ def build_pipeline(pipeline_cfgs: List[dict], tasks=None, max_points=300000,
             from ..pipelines.camera import LoadMultiViewImages
 
             stages.append(LoadMultiViewImages(**cfg))
+        elif t == "LoadBEVSegmentation":
+            from ..pipelines.bev_seg import LoadBEVSegmentation
+
+            stages.append(LoadBEVSegmentation(**cfg))
         elif t == "ImageAug3D":
             from ..pipelines.camera import ImageAug3D
 

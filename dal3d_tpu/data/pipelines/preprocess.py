@@ -162,6 +162,10 @@ class ReformatFixedShape:
         cam_batch = res.get("camera", {}).get("batch")
         if cam_batch:
             example.update(cam_batch)
+        if "gt_masks_bev" in res:  # [C, Wc, Hc] -> NHWC-convention [Hc, Wc, C]
+            example["gt_masks_bev"] = np.transpose(
+                res["gt_masks_bev"], (2, 1, 0)
+            ).astype(np.float32)
 
         if self.voxelize_host is not None:
             from ...native import host_ops

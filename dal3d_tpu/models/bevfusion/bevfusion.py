@@ -37,6 +37,11 @@ class BEVFusion(nn.Module):
     feature_size: Tuple[int, int] = (32, 88)
     decoder_channels: Tuple[int, ...] = (128, 256)
     voxel_caps: Tuple[int, ...] = (120000, 60000, 30000, 30000)
+    # BEV map segmentation (reference heads/segm/vanilla.py; trained from
+    # LoadBEVSegmentation targets)
+    with_map_seg: bool = False
+    seg_classes: Tuple[str, ...] = ("drivable_area", "ped_crossing", "walkway",
+                                    "stop_line", "carpark_area", "divider")
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -91,4 +96,8 @@ class BEVFusion(nn.Module):
         preds = TransFusionHead(
             num_classes=self.num_classes, num_proposals=self.num_proposals
         )(bev, train)
+        if self.with_map_seg:
+            from .segm import BEVSegmentationHead
+
+            preds["seg_logits"] = BEVSegmentationHead(classes=self.seg_classes)(bev, train)
         return preds

@@ -41,9 +41,11 @@ def create_bevfusion_state(model, optimizer, rng, sample_batch) -> TrainState:
     )
 
 
-def make_bevfusion_train_step(model, optimizer, test_cfg: TransFusionTestCfg) -> Callable:
+def make_bevfusion_train_step(model, optimizer, test_cfg: TransFusionTestCfg,
+                              seg_loss_weight: float = 1.0) -> Callable:
     def train_step(state: TrainState, batch: Dict[str, Any]):
-        model_batch = {k: v for k, v in batch.items() if k not in ("gt_boxes", "gt_classes")}
+        model_batch = {k: v for k, v in batch.items()
+                       if k not in ("gt_boxes", "gt_classes", "gt_masks_bev")}
         # per-step dropout rng for Swin stochastic depth (drop_path 0.2)
         dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
 
@@ -54,6 +56,23 @@ def make_bevfusion_train_step(model, optimizer, test_cfg: TransFusionTestCfg) ->
                 rngs={"dropout": dropout_rng},
             )
             logs = transfusion_loss(preds, batch["gt_boxes"], batch["gt_classes"], test_cfg)
+            if "gt_masks_bev" in batch and "seg_logits" in preds:
+                from ..models.bevfusion.segm import bev_segmentation_loss
+
+                logits = preds["seg_logits"]
+                tgt = batch["gt_masks_bev"]
+                if logits.shape[1:3] != tgt.shape[1:3]:
+                    logits = jax.image.resize(
+                        logits, (logits.shape[0], *tgt.shape[1:3], logits.shape[-1]),
+                        method="bilinear",
+                    )
+                seg = bev_segmentation_loss(logits, tgt)
+                logs = dict(logs)
+                logs["seg_loss"] = seg["loss"]
+                logs["loss"] = logs["loss"] + seg_loss_weight * seg["loss"]
+            else:
+                logs = dict(logs)
+                logs["seg_loss"] = jnp.zeros(())
             return logs["loss"], (logs, new_state)
 
         (loss, (logs, new_model_state)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -72,6 +91,7 @@ def make_bevfusion_train_step(model, optimizer, test_cfg: TransFusionTestCfg) ->
             "cls_loss": logs["cls_loss"],
             "reg_loss": logs["reg_loss"],
             "heatmap_loss": logs["heatmap_loss"],
+            "seg_loss": logs["seg_loss"],
             "num_matched": logs["num_matched"],
             "grad_norm": optax.global_norm(grads),
         }

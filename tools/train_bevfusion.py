@@ -54,6 +54,7 @@ def main():
         decoder_channels=tuple(mc.get("decoder_channels", (128, 256))),
         image_size=tuple(mc.get("image_size", (256, 704))),
         camera_out_channels=int(mc.get("camera_out_channels", 80)),
+        with_map_seg=bool(mc.get("with_map_seg", False)),
     )
     tc = dict(cfg.test_cfg)
     test_cfg = TransFusionTestCfg(
@@ -86,7 +87,7 @@ def main():
         from dal3d_tpu.runtime.bevfusion_steps import CAMERA_KEYS
 
         keep = ("points", "points_valid", "voxel_features", "voxel_coords",
-                "voxel_valid") + CAMERA_KEYS
+                "voxel_valid", "gt_masks_bev") + CAMERA_KEYS
         out = {k: jnp.asarray(v) for k, v in b.items() if k in keep}
         # fold per-task GTs into global-class arrays for the fusion head
         gts, cls = b["gt_boxes"], b["gt_classes"]
@@ -136,7 +137,9 @@ def main():
                 logger.info(
                     f"Epoch [{epoch+1}][{i+1}] loss {float(logs['loss']):.4f} "
                     f"(cls {float(logs['cls_loss']):.3f} reg {float(logs['reg_loss']):.3f} "
-                    f"hm {float(logs['heatmap_loss']):.3f}) matched {int(logs['num_matched'])}"
+                    f"hm {float(logs['heatmap_loss']):.3f} "
+                    f"seg {float(logs.get('seg_loss', 0.0)):.3f}) "
+                    f"matched {int(logs['num_matched'])}"
                 )
         ckpt.save_checkpoint(work_dir, state, epoch + 1)
         logger.info(f"saved epoch {epoch+1}")
