@@ -127,19 +127,32 @@ def multi_group_predict(
     task_anchors: List[TaskAnchors],
     box_coder: GroundBox3dCoder,
     cfg: TestConfig = TestConfig(),
+    iou_rescore_alpha: float = 0.0,
 ) -> Dict[str, jnp.ndarray]:
     """Fixed-shape batched detection decoding (reference mg_head.py:697-1085,
     single-class-agnostic NMS branch used by the CBGS configs).
 
+    When the head carries an IoU-quality branch (``iou_preds`` per task,
+    MultiGroupLossHead / reference mg_iou_head.py), the decoded per-anchor
+    IoU (sigmoid, clamped — ref :582-608) is threaded through candidate
+    selection and returned per detection as ``iou_preds`` — the partial-label
+    estimator pipeline's quality signal. ``iou_rescore_alpha`` applies the
+    rectifier score <- score^(1-a) * iou^a before ranking; the reference
+    ships with the rescoring line commented out (mg_iou_head.py:706
+    ``total_scores = total_scores# * iou_preds``), so 0.0 reproduces its
+    effective behavior and a>0 enables what the branch was built for.
+
     Returns padded per-sample arrays:
       box3d_lidar [B, D, 9], scores [B, D], label_preds [B, D] (global class
-      ids), det_valid [B, D] with D = num_tasks * nms_post_max_size.
+      ids), det_valid [B, D] with D = num_tasks * nms_post_max_size
+      (+ iou_preds [B, D] when the head provides them).
     """
     # stage 1 (per task): decode + score-threshold + top-k candidate select
-    cand_boxes, cand_scores, cand_labels = [], [], []
+    cand_boxes, cand_scores, cand_labels, cand_ious = [], [], [], []
     label_offset = 0
     B = preds[0]["box_preds"].shape[0]
     pre = cfg.nms_pre_max_size
+    with_iou = all("iou_preds" in p for p in preds)
     for t, pred in enumerate(preds):
         ta = task_anchors[t]
         nc = ta.num_classes
@@ -152,6 +165,14 @@ def multi_group_predict(
         scores = jax.nn.sigmoid(cls_preds)
         top_scores = scores.max(axis=-1) if nc > 1 else scores[..., 0]
         top_labels = scores.argmax(axis=-1) if nc > 1 else jnp.zeros(scores.shape[:2], jnp.int32)
+        if with_iou:
+            iou_dec = jnp.clip(
+                jax.nn.sigmoid(pred["iou_preds"].reshape(B, -1)), 0.0, 1.0
+            )
+            if iou_rescore_alpha > 0.0:
+                top_scores = jnp.power(top_scores, 1.0 - iou_rescore_alpha) * jnp.power(
+                    iou_dec, iou_rescore_alpha
+                )
         masked = jnp.where(top_scores >= cfg.score_threshold, top_scores, -jnp.inf)
         if cfg.use_approx_topk and masked.shape[-1] > 4 * pre:
             csc, cidx = jax.lax.approx_max_k(masked, pre)  # [B, pre]
@@ -160,6 +181,8 @@ def multi_group_predict(
         cand_boxes.append(jnp.take_along_axis(decoded, cidx[..., None], axis=1))
         cand_scores.append(csc)
         cand_labels.append(jnp.take_along_axis(top_labels, cidx, axis=1) + label_offset)
+        if with_iou:
+            cand_ious.append(jnp.take_along_axis(iou_dec, cidx, axis=1))
         label_offset += nc
 
     # stage 2: ONE batched greedy NMS over all (task, batch) candidate sets —
@@ -196,9 +219,14 @@ def multi_group_predict(
     def unfold(x):
         return x.reshape(T, B, post).transpose(1, 0, 2).reshape(B, T * post)
 
-    return {
+    out = {
         "box3d_lidar": sel_boxes.reshape(T, B, post, 9).transpose(1, 0, 2, 3).reshape(B, T * post, 9),
         "scores": unfold(jnp.where(kv, sel_scores, 0.0)),
         "label_preds": unfold(sel_labels).astype(jnp.int32),
         "det_valid": unfold(kv),
     }
+    if with_iou:
+        ious_all = jnp.stack(cand_ious).reshape(T * B, pre)
+        sel_ious = jnp.take_along_axis(ious_all, sel, axis=1)
+        out["iou_preds"] = unfold(jnp.where(kv, sel_ious, 0.0))
+    return out

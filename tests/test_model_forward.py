@@ -119,3 +119,35 @@ def test_predict_shapes(setup):
     if vmask[:, 16:].any():
         assert set(lab[:, 16:][vmask[:, 16:]].tolist()) <= {1, 2}
     assert np.isfinite(np.asarray(dets["box3d_lidar"])).all()
+
+
+def test_predict_with_iou_branch(setup):
+    """mg_iou_head predict semantics: decoded per-detection iou_preds ride
+    along; iou_rescore_alpha>0 applies the score^(1-a)*iou^a rectifier
+    (reference mg_iou_head.py:582-608, :706)."""
+    model, variables, pts, valid = setup
+    coder = GroundBox3dCoder(vec_encode=True, n_dim=9)
+    tas = generate_task_anchors(GENS, TASKS, [1, 8, 8])
+    out = model.apply(variables, jnp.asarray(pts), jnp.asarray(valid), False)
+    rng = np.random.RandomState(0)
+    preds = []
+    for p in out["preds"]:
+        p = dict(p)
+        hm = p["cls_preds"]
+        p["iou_preds"] = jnp.asarray(
+            rng.randn(hm.shape[0], hm.shape[1], hm.shape[2],
+                      p["box_preds"].shape[-1] // coder.code_size).astype(np.float32)
+        )
+        preds.append(p)
+    tcfg = TestConfig(nms_pre_max_size=64, nms_post_max_size=16, score_threshold=0.05,
+                      post_center_limit_range=(-10, -10, -5, 10, 10, 5))
+    dets = multi_group_predict(preds, tas, coder, tcfg)
+    assert "iou_preds" in dets and dets["iou_preds"].shape == dets["scores"].shape
+    iou = np.asarray(dets["iou_preds"])
+    vm = np.asarray(dets["det_valid"])
+    assert ((iou[vm] >= 0) & (iou[vm] <= 1)).all()
+
+    # rescoring changes the ranking score monotonically with predicted iou
+    dets_r = multi_group_predict(preds, tas, coder, tcfg, iou_rescore_alpha=0.5)
+    s0, s1 = np.asarray(dets["scores"]), np.asarray(dets_r["scores"])
+    assert not np.allclose(s0[vm], s1[np.asarray(dets_r["det_valid"])][: vm.sum()])
