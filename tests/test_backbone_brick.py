@@ -3,6 +3,9 @@
 The brick engine must be numerically interchangeable (eval mode) with the
 per-voxel gather engine on scenes where no capacity truncates."""
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

@@ -1,5 +1,6 @@
 """KITTI AP eval + CenterPoint head + BEV seg head sanity."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -36,6 +37,7 @@ def test_kitti_eval_misses():
     assert r["Car_3d_AP40"] == 0.0
 
 
+@pytest.mark.slow
 def test_kitti_eval_difficulty_bins():
     """Easy GT counts in all bins; hard-only GT is ignored (not FP) in easy.
 

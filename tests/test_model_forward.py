@@ -67,6 +67,7 @@ def test_forward_shapes(setup):
     assert np.isfinite(np.asarray(out["embedding"])).all()
 
 
+@pytest.mark.slow
 def test_loss_and_grad(setup):
     model, variables, pts, valid = setup
     coder = GroundBox3dCoder(vec_encode=True, n_dim=9)

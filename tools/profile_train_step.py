@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Production-scale train-step timing on the real chip (B=2, 250k pts,
+60k voxels, full CBGS model + on-device target assignment)."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dal3d_tpu.utils.platform import setup_jax
+
+
+def main():
+    jax = setup_jax()
+    import numpy as np
+    import jax.numpy as jnp
+
+    from dal3d_tpu.models.builder import build_detector
+    from dal3d_tpu.native import host_ops
+    from dal3d_tpu.runtime.steps import create_train_state, make_train_step
+    from dal3d_tpu.solver.optim import OneCycleSchedule, build_optimizer
+    from dal3d_tpu.utils import Config
+    from tools.microbench import _lidar_cloud
+
+    cfg = Config.fromfile(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs", "cbgs_spatial_temporal.py"))
+    bundle = build_detector(cfg)
+
+    B, P, M = int(os.environ.get("B", 2)), 250_000, 60000
+    rng = np.random.RandomState(0)
+    pts = np.zeros((B, P, 5), np.float32)
+    vf = np.zeros((B, M, 5), np.float32)
+    vc = np.zeros((B, M, 3), np.int32)
+    vv = np.zeros((B, M), bool)
+    for b in range(B):
+        p = _lidar_cloud(rng, P)
+        pts[b, : len(p), :3] = p
+        voxels, coords, npts = host_ops.points_to_voxel(
+            pts[b], (0.1, 0.1, 0.2), (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0), 10, M)
+        n = voxels.shape[0]
+        vf[b, :n] = voxels.sum(1) / np.maximum(npts, 1)[:, None]
+        vc[b, :n] = coords
+        vv[b, :n] = True
+    gt = np.zeros((B, 8, 9), np.float32)
+    gt[..., 3:6] = 1.0
+    gt[:, 0] = [2, 3, -0.9, 2.0, 4.6, 1.7, 0, 0, 0.5]
+    cls = np.zeros((B, 8), np.int32)
+    cls[:, 0] = 1
+    batch = {
+        "points": jnp.asarray(pts), "points_valid": jnp.ones((B, P), bool),
+        "voxel_features": jnp.asarray(vf), "voxel_coords": jnp.asarray(vc),
+        "voxel_valid": jnp.asarray(vv),
+        "gt_boxes": [jnp.asarray(gt)] * 6,
+        "gt_classes": [jnp.asarray(cls)] * 6,
+    }
+    opt = build_optimizer(OneCycleSchedule(total_steps=100))
+    state = create_train_state(bundle, opt, jax.random.PRNGKey(0), batch)
+    step = make_train_step(bundle, opt)
+    state, logs = step(state, batch)
+    print("first step loss:", float(logs["loss"]))
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, logs = step(state, batch)
+    float(logs["loss"])
+    dt = (time.perf_counter() - t0) / n
+    print(f"train step (B={B}): {dt*1e3:.0f} ms -> {B/dt:.2f} scans/s/chip training")
+
+
+if __name__ == "__main__":
+    main()
