@@ -439,3 +439,48 @@ def get_official_eval_result(gt_annos: List[dict], dt_annos: List[dict],
                             ret["orientation"]
                         )
     return results
+
+
+# coco-style per-class IoU-overlap sweeps (reference eval.py:754-800
+# get_coco_eval_result / :634 do_coco_style_eval): AP averaged over a
+# 10-point linspace of min-overlaps per class
+CLASS_TO_RANGE = {
+    0: (0.5, 0.95, 10), 1: (0.25, 0.7, 10), 2: (0.25, 0.7, 10),
+    3: (0.5, 0.95, 10), 4: (0.25, 0.7, 10),
+}
+
+
+def get_coco_eval_result(gt_annos: List[dict], dt_annos: List[dict],
+                         current_classes: Sequence) -> Dict[str, float]:
+    classes = [
+        NAME_TO_CLASS[c] if isinstance(c, str) else int(c) for c in current_classes
+    ]
+    compute_aos = any(
+        len(dt["alpha"]) > 0 and dt["alpha"][0] != -10 for dt in dt_annos
+    )
+    metric_names = {0: "bbox", 1: "bev", 2: "3d"}
+    results: Dict[str, float] = {}
+    for cls in classes:
+        cname = CLASS_TO_NAME[cls]
+        lo, hi, n = CLASS_TO_RANGE[cls]
+        overlaps = np.linspace(lo, hi, int(n))
+        for metric in (0, 1, 2):
+            for difficulty, dname in enumerate(("easy", "moderate", "hard")):
+                r11, r40, aos11, aos40 = [], [], [], []
+                for ov in overlaps:
+                    ret = eval_class(
+                        gt_annos, dt_annos, cls, difficulty, metric, float(ov),
+                        compute_aos=compute_aos and metric == 0,
+                    )
+                    r11.append(map_r11(ret["precision"]))
+                    r40.append(map_r40(ret["precision"]))
+                    if compute_aos and metric == 0:
+                        aos11.append(map_r11(ret["orientation"]))
+                        aos40.append(map_r40(ret["orientation"]))
+                base = f"{cname}_{metric_names[metric]}_{dname}_coco"
+                results[f"{base}_R11"] = float(np.mean(r11))
+                results[f"{base}_R40"] = float(np.mean(r40))
+                if aos11:
+                    results[f"{cname}_aos_{dname}_coco_R11"] = float(np.mean(aos11))
+                    results[f"{cname}_aos_{dname}_coco_R40"] = float(np.mean(aos40))
+    return results

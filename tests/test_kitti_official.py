@@ -9,6 +9,7 @@ the curve (with fewer, AP degenerates — faithfully reproduced here in
 test_sparse_sampling_artifact), so the main fixtures use 60 GT boxes.
 """
 import numpy as np
+import pytest
 
 from dal3d_tpu.eval import kitti_official as ko
 
@@ -153,3 +154,17 @@ def test_bev_rotated_iou_exact():
     q2 = np.array([[1.0, 0.0, 2.0, 2.0, 0.0]])
     iou2 = ko.bev_box_overlap(b, q2)
     assert abs(iou2[0, 0] - 2.0 / 6.0) < 1e-6
+
+
+def test_coco_eval_sweep_matches_single_overlap_for_exact_dets():
+    """With exact-overlap detections (IoU 1.0 everywhere), every overlap in
+    the coco sweep yields the same AP, so the mean equals the official
+    single-threshold value."""
+    gts, dts = _grid_scene()
+    coco = ko.get_coco_eval_result(gts, dts, ["Car"])
+    official = ko.get_official_eval_result(gts, dts, ["Car"])
+    for metric in ("bbox", "bev", "3d"):
+        for d in ("easy", "moderate", "hard"):
+            assert coco[f"Car_{metric}_{d}_coco_R40"] == pytest.approx(
+                official[f"Car_{metric}_{d}_R40"]
+            )
