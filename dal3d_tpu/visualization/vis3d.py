@@ -111,17 +111,23 @@ def project_boxes_to_image(boxes: np.ndarray, intrinsics: np.ndarray,
 
 def draw_boxes_on_image(ax, image: np.ndarray, boxes, intrinsics,
                         cam2lidar_rot, cam2lidar_trans, color=PRED_COLOR):
-    ax.imshow(np.clip(np.asarray(image), 0, 1) if np.asarray(image).max() <= 4
-              else np.asarray(image).astype(np.uint8))
-    if boxes is None or len(np.atleast_2d(boxes)) == 0:
-        return ax
-    uv, front = project_boxes_to_image(boxes, intrinsics, cam2lidar_rot, cam2lidar_trans)
-    for corners, f in zip(uv, front):
-        if not f.all():
-            continue
-        for i, j in _EDGES:
-            ax.plot([corners[i, 0], corners[j, 0]], [corners[i, 1], corners[j, 1]],
-                    color=color, linewidth=1.0)
+    img = np.asarray(image)
+    ax.imshow(np.clip(img, 0, 1) if img.max() <= 4 else img.astype(np.uint8))
+    H, W = img.shape[:2]
+    if boxes is not None and len(np.atleast_2d(boxes)) > 0:
+        uv, front = project_boxes_to_image(
+            boxes, intrinsics, cam2lidar_rot, cam2lidar_trans
+        )
+        for corners, f in zip(uv, front):
+            if not f.all():
+                continue
+            for i, j in _EDGES:
+                ax.plot([corners[i, 0], corners[j, 0]],
+                        [corners[i, 1], corners[j, 1]],
+                        color=color, linewidth=1.0)
+    # out-of-view corners must not stretch the canvas past the image
+    ax.set_xlim(-0.5, W - 0.5)
+    ax.set_ylim(H - 0.5, -0.5)
     return ax
 
 
