@@ -52,10 +52,14 @@ def main():
     from tools.microbench import _lidar_cloud
 
     pts = np.zeros((B, P, 5), np.float32)
+    pts_valid = np.zeros((B, P), bool)
+    n_pts = []
     for b in range(B):
         p = _lidar_cloud(rng, P)
         pts[b, : len(p), :3] = p
         pts[b, : len(p), 3] = rng.uniform(0, 255, len(p))
+        pts_valid[b, : len(p)] = True
+        n_pts.append(len(p))
     # host voxelization (native C++), overlapped with device compute in the
     # real loader; included here in the H2D payload
     from dal3d_tpu.native import host_ops
@@ -65,7 +69,8 @@ def main():
     vv = np.zeros((B, M), bool)
     for b in range(B):
         voxels, coords, npts = host_ops.points_to_voxel(
-            pts[b], (0.1, 0.1, 0.2), (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0), 10, M
+            pts[b, : n_pts[b]], (0.1, 0.1, 0.2),
+            (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0), 10, M
         )
         n = voxels.shape[0]
         vf[b, :n] = voxels.sum(1) / np.maximum(npts, 1)[:, None]
@@ -73,7 +78,7 @@ def main():
         vv[b, :n] = True
     batch = {
         "points": jnp.asarray(pts),
-        "points_valid": jnp.ones((B, P), bool),
+        "points_valid": jnp.asarray(pts_valid),
         "voxel_features": jnp.asarray(vf),
         "voxel_coords": jnp.asarray(vc),
         "voxel_valid": jnp.asarray(vv),

@@ -140,8 +140,9 @@ def bev_box_overlap(boxes: np.ndarray, qboxes: np.ndarray, criterion: int = -1):
                 ua = area_b[i]
             elif criterion == 1:
                 ua = area_q[j]
-            else:
-                ua = max(inter, 1e-12)
+            else:  # criterion 2: raw intersection area (for d3_box_overlap)
+                out[i, j] = inter
+                continue
             out[i, j] = inter / ua if ua > 0 else 0.0
     return out
 
@@ -165,12 +166,7 @@ def d3_box_overlap(boxes: np.ndarray, qboxes: np.ndarray):
             )
             if iw <= 0:
                 continue
-            # criterion=2 returned inter/max(inter,eps)=..; recompute raw
-            inter = rotated_box_intersection(
-                _rotated_rect_corners(bev_b[[i]][:, [0, 1, 3, 2, 4]])[0],
-                _rotated_rect_corners(bev_q[[j]][:, [0, 1, 3, 2, 4]])[0],
-            )
-            vol_inter = iw * inter
+            vol_inter = iw * inter_area[i, j]
             vol1 = boxes[i, 3] * boxes[i, 4] * boxes[i, 5]
             vol2 = qboxes[j, 3] * qboxes[j, 4] * qboxes[j, 5]
             ua = vol1 + vol2 - vol_inter
@@ -388,7 +384,6 @@ def eval_class(gt_annos: List[dict], dt_annos: List[dict], current_class: int,
     # precision envelope (running max from the right)
     for i in range(N_SAMPLE_PTS):
         precision[i] = precision[i:].max()
-        recall[i] = recall[i:].max()
         if compute_aos:
             aos[i] = aos[i:].max()
     return {"precision": precision, "recall": recall, "orientation": aos}
@@ -405,8 +400,7 @@ def map_r40(prec: np.ndarray) -> float:
 
 
 def get_official_eval_result(gt_annos: List[dict], dt_annos: List[dict],
-                             current_classes: Sequence, z_center: bool = False
-                             ) -> Dict[str, float]:
+                             current_classes: Sequence) -> Dict[str, float]:
     """Full official table: AP_R11 + AP_R40 for bbox/bev/3d (+AOS when dt
     alphas are provided) x easy/moderate/hard x both overlap rows."""
     classes = [

@@ -196,8 +196,14 @@ def transfusion_loss(
         jnp.broadcast_to(gcls[:, None, :, None], (B, P, G, 1)), axis=-1,
     )[..., 0]
 
-    # BBoxBEVL1Cost: L1 on [0,1]-normalized BEV centers
-    span = 2 * abs(cfg.pc_range[0])  # symmetric range
+    # BBoxBEVL1Cost: L1 on [0,1]-normalized BEV centers; each axis is
+    # normalized by its OWN extent (reference hungarian_assigner.py BBoxBEVL1:
+    # pc_range[3:5] - pc_range[0:2]), recovered here from the heatmap grid
+    hm_h, hm_w = preds["heatmap"].shape[1:3]
+    span = jnp.asarray([
+        hm_w * cfg.out_size_factor * cfg.voxel_size[0],
+        hm_h * cfg.out_size_factor * cfg.voxel_size[1],
+    ])
     nb = (boxes[..., :2] - jnp.asarray(cfg.pc_range)) / span
     ng = (gt_boxes[..., :2] - jnp.asarray(cfg.pc_range)) / span
     reg_cost = jnp.abs(nb[:, :, None] - ng[:, None, :]).sum(-1)

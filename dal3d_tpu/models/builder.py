@@ -117,7 +117,7 @@ def build_detector(cfg, train_cfg=None, test_cfg=None) -> DetectorBundle:
         backbone_impl=str(backbone_cfg.get("impl", "gather")),
         backbone_dtype=str(backbone_cfg.get("dtype", "float32")),
         brick_widths=tuple(backbone_cfg.get("brick_widths", (16, 16, 8, 4, 4))),
-        brick_caps=tuple(backbone_cfg.get("brick_caps", (30000, 13000, 9000, 6000, 5000))),
+        brick_caps=tuple(backbone_cfg.get("brick_caps", (48000, 17000, 10000, 6000, 6000))),
     )
 
     return DetectorBundle(

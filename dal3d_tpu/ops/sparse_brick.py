@@ -18,8 +18,9 @@ measured TPU facts (tools/microbench.py, tools/profile_brick_ops.py):
 
 Data model (static shapes end-to-end):
   features  [B, Mb, bw*C]   w-major flat rows (view [B, Mb, bw, C])
-  brick_lin [B, Mb] int32   brick cell (z*H + y)*(W/bw) + x/bw, ascending,
-                            sentinel = D*H*(W/bw) on padding rows
+  brick_lin [B, Mb] int32   brick cell (z*H + y)*(W/bw) + x/bw in
+                            first-appearance order (NOT sorted); padding rows
+                            carry the sentinel D*H*(W/bw)
   vmask     [B, Mb, bw]     exact spconv per-voxel active mask
 
 A 3x3x3 submanifold conv (halo-padded formulation):
@@ -438,8 +439,9 @@ def from_voxels(features: jnp.ndarray, coords_zyx: jnp.ndarray, valid: jnp.ndarr
                 shape, bw: int, mb_cap: int) -> BrickBatch:
     """Voxelizer output (any row order) -> BrickBatch.
 
-    features [B, N, C], coords_zyx [B, N, 3], valid [B, N]. Overflowing
-    bricks (beyond mb_cap, ascending cell order) are dropped."""
+    features [B, N, C], coords_zyx [B, N, 3], valid [B, N]. Beyond mb_cap
+    the LATEST-appearing bricks in the candidate list are dropped (first-
+    appearance compaction order, not cell order)."""
     D, H, W = (int(s) for s in shape)
     assert W % bw == 0, f"W={W} not divisible by brick width {bw}"
     Wb = W // bw

@@ -70,33 +70,12 @@ def main():
     logger.info(f"loaded checkpoint epoch {meta.get('epoch')}")
     predict = make_predict_step(bundle)
 
-    detections = {}
-    n_done = 0
-    for batch in loader:
-        # pass host-voxelized features through (like active_select); dropping
-        # them would force the slower on-device grid voxelize path. Raw
-        # points are omitted when voxels exist (H2D payload).
-        feed_keys = (
-            ("voxel_features", "voxel_coords", "voxel_valid")
-            if "voxel_features" in batch else ("points", "points_valid")
-        )
-        out = predict(
-            state.params, state.batch_stats,
-            {k: batch[k] for k in feed_keys if k in batch},
-        )
-        out = {k: np.asarray(v) for k, v in out.items()}
-        for i, md in enumerate(batch["metadata"]):
-            token = md.get("token", str(n_done))
-            if token in detections:
-                continue  # padded repeat at the tail
-            detections[token] = {
-                "box3d_lidar": out["box3d_lidar"][i],
-                "scores": out["scores"][i],
-                "label_preds": out["label_preds"][i],
-                "det_valid": out["det_valid"][i],
-            }
-            n_done += 1
-        logger.info(f"scored {n_done}/{len(dataset)}")
+    from dal3d_tpu.runtime.evaluation import predict_dataset
+
+    detections = predict_dataset(
+        predict, state.params, state.batch_stats, loader, logger=logger,
+        log_every=max(len(dataset) // 10, 1),
+    )
 
     if args.out:
         with open(args.out, "wb") as f:
@@ -104,6 +83,15 @@ def main():
         logger.info(f"raw detections -> {args.out}")
 
     result = dataset.evaluation(detections, output_dir=work_dir, testset=args.testset)
+    if not args.testset:
+        from dal3d_tpu.runtime.evaluation import kitti_style_eval
+
+        ap = kitti_style_eval(dataset, detections)
+        if ap:
+            result = dict(result or {})
+            result["kitti_style"] = {
+                k: round(float(v), 4) for k, v in ap.items() if k.startswith("mAP")
+            }
     logger.info(f"evaluation: {result}")
 
 

@@ -71,6 +71,8 @@ def main():
         state, _ = ckpt.load_checkpoint(args.checkpoint, state)
         predict = make_predict_step(bundle)
 
+    rng_cfg = cfg.voxel_generator["range"]
+    pc_range = (rng_cfg[0], rng_cfg[1], rng_cfg[3], rng_cfg[4])
     gallery = []
     for i, batch in enumerate(DataLoader(dataset, 1, shuffle=False)):
         if i >= args.num:
@@ -96,8 +98,6 @@ def main():
                 np.asarray(det["scores"]) >= args.score_thresh)
             pred = np.asarray(det["box3d_lidar"])[keep]
 
-        rng = cfg.voxel_generator["range"]
-        pc_range = (rng[0], rng[1], rng[3], rng[4])
         save_bev(os.path.join(args.out_dir, f"{i:03d}_{token[:8]}_bev.png"),
                  pts, gt, pred, pc_range=pc_range)
         save_scene(os.path.join(args.out_dir, f"{i:03d}_{token[:8]}_3d.png"),
@@ -116,9 +116,10 @@ def main():
               f"{0 if gt is None else len(gt)} gt, "
               f"{0 if pred is None else len(pred)} dets")
 
-    detection_gallery(os.path.join(args.out_dir, "gallery.png"), gallery,
-                      pc_range=pc_range)
-    print(f"wrote {args.out_dir}")
+    if gallery:
+        detection_gallery(os.path.join(args.out_dir, "gallery.png"), gallery,
+                          pc_range=pc_range)
+    print(f"wrote {args.out_dir} ({len(gallery)} frames)")
 
 
 if __name__ == "__main__":
