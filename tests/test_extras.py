@@ -115,3 +115,25 @@ def test_partial_dataset(tmp_path):
     for i in range(4):
         part.get_sensor_data(i)  # exercises the keep-mask path
     assert len(part) == 4 and n_full > 0
+
+
+def test_image_backbones_forward():
+    """resnet/senet/ssd_vgg registry surface (reference det3d/models/
+    backbones/{resnet,senet,ssd_vgg}.py — registered, unused by the active
+    configs)."""
+    import jax
+    import jax.numpy as jnp
+    from dal3d_tpu.models import ResNet, SENet, SSDVGG
+
+    x = jnp.ones((1, 64, 64, 3))
+    for cls, n_out in ((ResNet, 4), (SENet, 4), (SSDVGG, 2)):
+        m = cls()
+        v = m.init(jax.random.PRNGKey(0), x, False)
+        outs = m.apply(v, x, False)
+        assert len(outs) == n_out
+        assert all(np.isfinite(np.asarray(o)).all() for o in outs)
+    # registry exposure
+    from dal3d_tpu.models.registry import BACKBONES
+
+    for name in ("ResNet", "SENet", "SSDVGG"):
+        assert name in BACKBONES.module_dict
