@@ -31,7 +31,6 @@ def parse_args():
 def main():
     args = parse_args()
     jax = setup_jax(force_cpu=args.cpu)
-    import numpy as np
 
     from dal3d_tpu.data import DataLoader, NuScenesDataset
     from dal3d_tpu.models.builder import build_detector
@@ -70,26 +69,12 @@ def main():
     logger.info(f"loaded checkpoint epoch {meta.get('epoch')}")
     predict = make_predict_step(bundle)
 
-    detections = {}
-    n_done = 0
-    for batch in loader:
-        out = predict(
-            state.params, state.batch_stats,
-            {"points": batch["points"], "points_valid": batch["points_valid"]},
-        )
-        out = {k: np.asarray(v) for k, v in out.items()}
-        for i, md in enumerate(batch["metadata"]):
-            token = md.get("token", str(n_done))
-            if token in detections:
-                continue  # padded repeat at the tail
-            detections[token] = {
-                "box3d_lidar": out["box3d_lidar"][i],
-                "scores": out["scores"][i],
-                "label_preds": out["label_preds"][i],
-                "det_valid": out["det_valid"][i],
-            }
-            n_done += 1
-        logger.info(f"scored {n_done}/{len(dataset)}")
+    from dal3d_tpu.runtime.evaluation import kitti_style_eval, predict_dataset
+
+    detections = predict_dataset(
+        predict, state.params, state.batch_stats, loader, logger=logger,
+        log_every=max(len(dataset) // 10, 1),
+    )
 
     if args.out:
         with open(args.out, "wb") as f:
@@ -97,6 +82,13 @@ def main():
         logger.info(f"raw detections -> {args.out}")
 
     result = dataset.evaluation(detections, output_dir=work_dir, testset=args.testset)
+    if not args.testset:
+        ap = kitti_style_eval(dataset, detections)
+        if ap:
+            result = dict(result or {})
+            result["kitti_style"] = {
+                k: round(float(v), 4) for k, v in ap.items() if k.startswith("mAP")
+            }
     logger.info(f"evaluation: {result}")
 
 
