@@ -141,18 +141,30 @@ class _Stage(nn.Module):
 
 class _BrickL0(nn.Module):
     """Stem + 2 basic blocks + first downsample on the brick engine
-    (one remat unit; the shared subm rulebook is rebuilt in backward)."""
+    (one remat unit; the shared subm rulebook is rebuilt in backward).
+
+    banded=True runs every conv through the banded MXU gather (ops.banded):
+    subm rulebooks carry BandPlans shared across the level's convs, the
+    downsample uses the banded strided kernel."""
 
     bw_out: int
     out_cap: int
     dtype: str = "float32"
+    banded: bool = False
+    band: int = 768
+    down_band: int = 2048
+    fb_cap: int = 256
 
     @nn.compact
     def __call__(self, bb, train: bool):
         from ...ops import sparse_brick as spb
 
         grid = spb.build_brick_grid(bb)  # shared: rulebook + downsample plan
-        rb = spb.subm_rulebook(bb, 3, grid)
+        if self.banded:
+            rb = spb.subm_rulebook_banded(bb, 3, grid, band=self.band,
+                                          fb_cap=self.fb_cap)
+        else:
+            rb = spb.subm_rulebook(bb, 3, grid)
         x = SubMConv(16, use_bias=False, dtype=self.dtype)(bb, rb)
         f = nn.relu(MaskedBatchNorm()(x.feat4(), x.vmask, train))
         x = x.replace(features=f.reshape(x.features.shape))
@@ -161,6 +173,7 @@ class _BrickL0(nn.Module):
         x = SparseConvDown(
             32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.out_cap,
             use_bias=False, dtype=self.dtype, out_bw=self.bw_out,
+            banded=self.banded, band=self.down_band, fb_cap=self.fb_cap * 2,
         )(x, grid=grid)
         f = nn.relu(MaskedBatchNorm()(x.feat4(), x.vmask, train))
         return x.replace(features=f.reshape(x.features.shape))
@@ -178,6 +191,10 @@ class _BrickStage(nn.Module):
     bw_out: int
     out_cap: int
     dtype: str = "float32"
+    banded: bool = False
+    band: int = 512
+    down_band: int = 1024
+    fb_cap: int = 256
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -185,12 +202,17 @@ class _BrickStage(nn.Module):
 
         grid = spb.build_brick_grid(x)  # shared: rulebook + downsample plan
         if self.num_blocks > 0:
-            rb = spb.subm_rulebook(x, 3, grid)
+            if self.banded:
+                rb = spb.subm_rulebook_banded(x, 3, grid, band=self.band,
+                                              fb_cap=self.fb_cap)
+            else:
+                rb = spb.subm_rulebook(x, 3, grid)
             for _ in range(self.num_blocks):
                 x = SparseBasicBlock(self.planes, dtype=self.dtype)(x, rb, train)
         x = SparseConvDown(
             self.out_planes, self.down_kernel, self.down_stride, self.down_padding,
             self.out_cap, use_bias=False, dtype=self.dtype, out_bw=self.bw_out,
+            banded=self.banded, band=self.down_band, fb_cap=self.fb_cap * 2,
         )(x, grid=grid)
         f = nn.relu(MaskedBatchNorm()(x.feat4(), x.vmask, train))
         return x.replace(features=f.reshape(x.features.shape))
@@ -218,34 +240,50 @@ class FPNSpMiddleResNetFHD(nn.Module):
     impl: str = "hybrid"
     brick_widths: Sequence[int] = (16, 16, 8, 4, 4)
     brick_caps: Sequence[int] = (48000, 17000, 10000, 6000, 6000)
+    # banded engine (impl="banded"): per-level subm band widths, downsample
+    # band widths, fallback capacity; caps must be multiples of 128
+    band_widths: Sequence[int] = (768, 512, 512, 512, 512)
+    down_bands: Sequence[int] = (2048, 1024, 512, 512)
+    band_fb_cap: int = 256
+    banded_caps: Sequence[int] = (48000, 17024, 9984, 6016, 6016)
 
     @nn.compact
     def __call__(self, sb: sp.SparseBatch, train: bool = False):
-        if self.impl == "brick":
+        if self.impl in ("brick", "banded"):
             from ...ops import sparse_brick as spb
 
+            banded = self.impl == "banded"
             raw = isinstance(sb, tuple)  # (vf, vc zyx, valid, shape) fast path
             D, H, W = sb[3] if raw else sb.shape
             # W extent per level: stage3 strides depth only, W stays at W/8
             wexts = (W, W // 2, W // 4, W // 8, W // 8)
             ws = [min(int(b), max(we, 1)) for b, we in zip(self.brick_widths, wexts)]
-            caps = [int(c) for c in self.brick_caps]
+            caps = [int(c) for c in (self.banded_caps if banded else self.brick_caps)]
             bb = (
-                spb.from_voxels(sb[0], sb[1], sb[2], (D, H, W), bw=ws[0], mb_cap=caps[0])
-                if raw else spb.from_sparse(sb, bw=ws[0], mb_cap=caps[0])
+                spb.from_voxels(sb[0], sb[1], sb[2], (D, H, W), bw=ws[0],
+                                mb_cap=caps[0], spatial=banded)
+                if raw else spb.from_sparse(sb, bw=ws[0], mb_cap=caps[0],
+                                            spatial=banded)
             )
+            bands = [int(b) for b in self.band_widths]
+            dbands = [int(b) for b in self.down_bands]
+            fbc = self.band_fb_cap
             L0 = nn.remat(_BrickL0, static_argnums=(2,))
-            x = L0(ws[1], caps[1], dtype=self.dtype, name="l0")(bb, train)
+            x = L0(ws[1], caps[1], dtype=self.dtype, name="l0", banded=banded,
+                   band=bands[0], down_band=dbands[0], fb_cap=fbc)(bb, train)
             middle = [x]
             Stage = nn.remat(_BrickStage, static_argnums=(2,))
             x = Stage(32, 64, 2, (3, 3, 3), (2, 2, 2), (1, 1, 1), ws[2], caps[2],
-                      dtype=self.dtype, name="stage1")(x, train)
+                      dtype=self.dtype, name="stage1", banded=banded,
+                      band=bands[1], down_band=dbands[1], fb_cap=fbc)(x, train)
             middle.append(x)
             x = Stage(64, 128, 2, (3, 3, 3), (2, 2, 2), (0, 1, 1), ws[3], caps[3],
-                      dtype=self.dtype, name="stage2")(x, train)
+                      dtype=self.dtype, name="stage2", banded=banded,
+                      band=bands[2], down_band=dbands[2], fb_cap=fbc)(x, train)
             middle.append(x)
             x = Stage(128, 128, 2, (3, 1, 1), (2, 1, 1), (0, 0, 0), ws[4], caps[4],
-                      dtype=self.dtype, name="stage3")(x, train)
+                      dtype=self.dtype, name="stage3", banded=banded,
+                      band=bands[3], down_band=dbands[3], fb_cap=fbc)(x, train)
             middle.append(x)
             dense = spb.to_dense(x).astype(jnp.float32)
             return dense, middle

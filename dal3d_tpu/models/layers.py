@@ -155,6 +155,9 @@ class SparseConvDown(nn.Module):
     use_bias: bool = False
     dtype: str = "float32"
     out_bw: int = 0  # brick engine only: output brick width (0 = keep input's)
+    banded: bool = False  # brick engine: banded MXU gather (ops.banded)
+    band: int = 1024  # banded: slab rows per 128-row output block
+    fb_cap: int = 512  # banded: out-of-band fallback capacity per tap
 
     @nn.compact
     def __call__(self, sb, grid=None):
@@ -170,10 +173,17 @@ class SparseConvDown(nn.Module):
             w = self.param("kernel", kaiming_conv_init(), (K, cin, self.features))
             if cdt != sb.features.dtype:
                 sb = sb.replace(features=sb.features.astype(cdt))
-            out = spb.downsample_conv(
-                sb, w.astype(cdt), self.kernel_size, self.stride, self.padding,
-                out_bw=self.out_bw or sb.bw, out_cap=self.out_cap, grid=grid,
-            )
+            if self.banded:
+                out = spb.downsample_conv_banded(
+                    sb, w.astype(cdt), self.kernel_size, self.stride, self.padding,
+                    out_bw=self.out_bw or sb.bw, out_cap=self.out_cap,
+                    band=self.band, fb_cap=self.fb_cap, grid=grid,
+                )
+            else:
+                out = spb.downsample_conv(
+                    sb, w.astype(cdt), self.kernel_size, self.stride, self.padding,
+                    out_bw=self.out_bw or sb.bw, out_cap=self.out_cap, grid=grid,
+                )
             if self.use_bias:
                 b = self.param("bias", nn.initializers.zeros, (self.features,))
                 bias_row = jnp.tile(b.astype(cdt), out.bw)

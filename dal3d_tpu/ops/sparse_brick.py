@@ -167,6 +167,58 @@ def _compact_cells(cells: jnp.ndarray, nbc: int, cap: int) -> jnp.ndarray:
     )[:cap]
 
 
+def _compact_cells_spatial(cells: jnp.ndarray, nbc: int, cap: int,
+                           shape_bricks: Tuple[int, int, int]) -> jnp.ndarray:
+    """Dedup + compact a cell list [N] to [cap] in y-major spatial order.
+
+    Output rows sorted by (y, x_brick, z): every (dz, dy, dx) brick neighbor
+    then lies within ~(3 x bricks-per-y-row) rows — the bounded-displacement
+    property the banded gather kernel (ops.banded) is built on. No device
+    sort: rank = segmented cumsum over the brick-occupancy grid reshaped
+    [H, Wb*D] (row-parallel cumsum; the 1.6M-element 1-D sort alternative
+    costs ~30 s on this runtime, ROADMAP.md).
+
+    Capacity overflow drops the HIGHEST-(y,x,z) bricks (far +y edge),
+    deterministically. Overflow is observable via brick_stats()."""
+    D, H, Wb = shape_bricks
+    N = cells.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
+    grid = jnp.full((nbc + 1,), -1, jnp.int32).at[jnp.minimum(cells, nbc)].set(
+        iota, mode="drop"
+    )
+    win = (grid[jnp.minimum(cells, nbc)] == iota) & (cells < nbc)
+    # z-major cell -> y-major key
+    z = cells // (H * Wb)
+    rem = cells % (H * Wb)
+    y, wb = rem // Wb, rem % Wb
+    ykey = jnp.where(win, (y * Wb + wb) * D + z, nbc).astype(jnp.int32)
+    occ = jnp.zeros((nbc + 1,), jnp.int32).at[ykey].set(
+        jnp.where(win, 1, 0), mode="drop"
+    )[:nbc]
+    cum = jnp.cumsum(occ.reshape(H, Wb * D), axis=-1)  # row-parallel
+    base = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(cum[:, -1])[:-1].astype(jnp.int32)])
+    pos_grid = (base[:, None] + cum - 1).reshape(nbc)
+    pos = pos_grid[jnp.minimum(ykey, nbc - 1)]
+    tgt = jnp.where(win, jnp.minimum(pos, cap), cap)
+    return jnp.full((cap + 1,), nbc, jnp.int32).at[tgt].set(
+        jnp.where(win, cells, nbc).astype(jnp.int32), mode="drop"
+    )[:cap]
+
+
+def brick_stats(cand: jnp.ndarray, nbc: int, cap: int) -> jnp.ndarray:
+    """Active-brick count of a candidate list (observability: count > cap
+    means the compaction truncated — ADVICE r2: capacity overflow must be
+    visible). Returns a scalar int32 per call."""
+    N = cand.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
+    grid = jnp.full((nbc + 1,), -1, jnp.int32).at[jnp.minimum(cand, nbc)].set(
+        iota, mode="drop"
+    )
+    win = (grid[jnp.minimum(cand, nbc)] == iota) & (cand < nbc)
+    return win.sum().astype(jnp.int32)
+
+
 def _wb_span(kw: int, bw: int):
     """dwb offsets a subm kernel of w-extent kw needs at brick width bw."""
     hw = (kw - 1) // 2
@@ -233,11 +285,92 @@ def subm_rulebook(bb: BrickBatch, kernel_size, grid: jnp.ndarray | None = None):
     return idx, hit, hidx, hhit
 
 
+@struct.dataclass
+class BandedSubmRulebook:
+    """Shared banded plans for all SubM convs at one level (ops.banded).
+
+    conv_plan: 9-tap (dz, dy) gather over the halo-padded table.
+    pad_plan:  3-tap [left, self, right] gather that builds the halo-padded
+               table itself as a banded matmul (cheaper than 2 XLA row
+               gathers per conv at production scale)."""
+
+    conv_plan: object
+    pad_plan: object
+
+
+def _pad_wband_np(bw: int, C: int, with_valid: bool) -> np.ndarray:
+    """[3, R_in, pad128(R_out)] selection weights for the halo-pad banded
+    call. R_in = bw*C (+bw if with_valid), out layout = (bw+2)*C features
+    (then bw+2 validity), zero-padded to a 128 lane multiple."""
+    from .banded import _pad128
+
+    Cv = C + (1 if with_valid else 0)
+    r_in = bw * Cv if with_valid else bw * C
+    r_out = (bw + 2) * Cv if with_valid else (bw + 2) * C
+    W = np.zeros((3, r_in, _pad128(r_out)), np.float32)
+    fb_in = bw * C if with_valid else None  # valid block base (input)
+    fb_out = (bw + 2) * C if with_valid else None
+    for c in range(C):
+        W[0, (bw - 1) * C + c, c] = 1.0  # left halo <- left brick's last col
+        W[2, c, (bw + 1) * C + c] = 1.0  # right halo <- right brick's first col
+        for w in range(bw):
+            W[1, w * C + c, (w + 1) * C + c] = 1.0
+    if with_valid:
+        W[0, fb_in + bw - 1, fb_out] = 1.0
+        W[2, fb_in, fb_out + bw + 1] = 1.0
+        for w in range(bw):
+            W[1, fb_in + w, fb_out + 1 + w] = 1.0
+    return W
+
+
+def subm_rulebook_banded(bb: BrickBatch, kernel_size, grid: jnp.ndarray | None = None,
+                         band: int = 768, bm: int = 128, fb_cap: int = 256):
+    """Banded-engine subm rulebook: standard rulebook + BandPlans."""
+    from .banded import make_band_plan
+
+    idx, hit, hidx, hhit = subm_rulebook(bb, kernel_size, grid)
+    B, Mb = bb.brick_lin.shape
+    band = min(band, (Mb // 16) * 16)
+    self_idx = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, Mb), 2), (B, 1, Mb)
+    )
+    pidx = jnp.concatenate([hidx[:, :1], self_idx, hidx[:, 1:2]], axis=1)
+    phit = jnp.concatenate(
+        [hhit[:, :1], jnp.ones((B, 1, Mb), bool), hhit[:, 1:2]], axis=1
+    )
+    conv_plan = make_band_plan(idx, hit, Mb, band, bm, fb_cap, symmetric=True)
+    pad_plan = make_band_plan(pidx, phit, Mb, band, bm,
+                              max(fb_cap // 2, 64), symmetric=True)
+    return BandedSubmRulebook(conv_plan=conv_plan, pad_plan=pad_plan)
+
+
+def _subm_conv_banded(bb: BrickBatch, weights: jnp.ndarray,
+                      rb: BandedSubmRulebook, kernel_size) -> BrickBatch:
+    from .banded import _pad128, banded_gather_matmul
+
+    kd, kh, kw = _triple(kernel_size)
+    Kzy = kd * kh
+    bw, C = bb.bw, bb.channels
+    Cout = weights.shape[-1]
+    dt = bb.features.dtype
+    pad_w = jnp.asarray(_pad_wband_np(bw, C, with_valid=False), dt)
+    padded = banded_gather_matmul(bb.features, pad_w, rb.pad_plan)
+    band_w = _halo_band(Kzy, kw, bw, weights)  # [Kzy, (bw+2)C, bw*Cout]
+    R2p = _pad128((bw + 2) * C)
+    if band_w.shape[1] != R2p:
+        band_w = jnp.pad(band_w, ((0, 0), (0, R2p - band_w.shape[1]), (0, 0)))
+    out = banded_gather_matmul(padded, band_w, rb.conv_plan)
+    out = out.astype(dt) * jnp.repeat(bb.vmask, Cout, axis=-1)
+    return bb.replace(features=out)
+
+
 def subm_conv(bb: BrickBatch, weights: jnp.ndarray, rulebook=None,
               kernel_size=3) -> BrickBatch:
     """Submanifold sparse conv. weights [kd*kh*kw, Cin, Cout] in kernel-
     position (z-major) order — interchangeable with the per-voxel engines."""
     kd, kh, kw = _triple(kernel_size)
+    if isinstance(rulebook, BandedSubmRulebook):
+        return _subm_conv_banded(bb, weights, rulebook, kernel_size)
     if rulebook is None:
         rulebook = subm_rulebook(bb, kernel_size)
     idx, hit, hidx, hhit = rulebook
@@ -260,7 +393,8 @@ def _out_dim(n: int, k: int, s: int, p: int) -> int:
 
 
 def downsample_plan(bb: BrickBatch, kernel_size, stride, padding, out_bw: int,
-                    out_cap: int, grid: jnp.ndarray | None = None):
+                    out_cap: int, grid: jnp.ndarray | None = None,
+                    spatial: bool = False):
     """Plan a strided sparse conv in brick space. Returns
     (out_lin [B, Mo], idx [B, Q, Mo], hit, out_shape, meta)."""
     kd, kh, kw = _triple(kernel_size)
@@ -321,6 +455,10 @@ def downsample_plan(bb: BrickBatch, kernel_size, stride, padding, out_bw: int,
         )
         ok = okz & oky & okw & (lin < nbc_in)[None, :]
         cells = jnp.where(ok, (zo * Ho + yo) * Wbo + wo, nbc_out)
+        if spatial:
+            return _compact_cells_spatial(
+                cells.reshape(-1), nbc_out, out_cap, (Do, Ho, Wbo)
+            )
         return _compact_cells(cells.reshape(-1), nbc_out, out_cap)
 
     out_lin = jax.vmap(out_actives)(bb.brick_lin)
@@ -435,13 +573,89 @@ def downsample_conv(bb: BrickBatch, weights: jnp.ndarray, kernel_size, stride,
     )
 
 
+def downsample_conv_banded(bb: BrickBatch, weights: jnp.ndarray, kernel_size,
+                           stride, padding, out_bw: int, out_cap: int,
+                           band: int = 1024, bm: int = 128, fb_cap: int = 512,
+                           plan=None, grid: jnp.ndarray | None = None) -> BrickBatch:
+    """Strided sparse conv on the banded engine: the combined
+    [features | validity] halo-padded table is built by a 3-tap banded
+    matmul, then the Q = kd*kh*nwb_h tap gather+conv runs as one banded
+    kernel (exact out-of-band fallback; not tap-symmetric, so the d/dtable
+    backward is an XLA scatter-add)."""
+    from .banded import _pad128, banded_gather_matmul, make_band_plan
+
+    if plan is None:
+        plan = downsample_plan(bb, kernel_size, stride, padding, out_bw, out_cap,
+                               grid, spatial=True)
+    out_lin, idx, hit, out_shape, meta, hidx, hhit = plan
+    kd, kh, kw, sw, pw = meta["kd"], meta["kh"], meta["kw"], meta["sw"], meta["pw"]
+    b0h, nwb_h = meta["b0h"], meta["nwb_h"]
+    Kzy = kd * kh
+    bw, C = bb.bw, bb.channels
+    Cin, Cout = weights.shape[-2], weights.shape[-1]
+    B, Mo = out_lin.shape
+    Mb = bb.brick_lin.shape[1]
+    dt = bb.features.dtype
+
+    # halo-padded combined table via the banded pad call
+    self_idx = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, Mb), 2), (B, 1, Mb)
+    )
+    pidx = jnp.concatenate([hidx[:, :1], self_idx, hidx[:, 1:2]], axis=1)
+    phit = jnp.concatenate(
+        [hhit[:, :1], jnp.ones((B, 1, Mb), bool), hhit[:, 1:2]], axis=1
+    )
+    pband = min(band, (Mb // 16) * 16)
+    pad_plan = make_band_plan(pidx, phit, Mb, pband, bm, max(fb_cap // 2, 64),
+                              symmetric=True)
+    rows_v = jnp.concatenate([bb.features, bb.vmask.astype(dt)], axis=-1)
+    pad_w = jnp.asarray(_pad_wband_np(bw, C, with_valid=True), dt)
+    padded = banded_gather_matmul(rows_v, pad_w, pad_plan)  # [B, Mb, R2p]
+
+    cband = min(band, (Mb // 16) * 16)
+    conv_plan = make_band_plan(idx, hit, Mb, cband, bm, fb_cap, symmetric=False)
+
+    # per-tap block-diagonal weights [Q, R2p, Routt]
+    R2 = (bw + 2) * (C + 1)
+    R2p = _pad128(R2)
+    Routt = out_bw * Cout + out_bw
+    S = np.zeros((kw, nwb_h, bw + 2, out_bw), np.float32)
+    for dw in range(kw):
+        for p in range(out_bw):
+            jb, col = _down_tap(sw, pw, dw, p, b0h, nwb_h, bw)
+            S[dw, jb, col, p] = 1.0
+    wk = weights.reshape(Kzy, kw, Cin, Cout)
+    band_f = jnp.einsum("djwp,kdio->kjwipo", jnp.asarray(S, weights.dtype), wk)
+    band_f = band_f.reshape(Kzy, nwb_h, (bw + 2) * Cin, out_bw * Cout)
+    bv = jnp.broadcast_to(
+        jnp.asarray(S.sum(0), weights.dtype)[None], (Kzy, nwb_h, bw + 2, out_bw)
+    )
+    Q = Kzy * nwb_h
+    wq = jnp.zeros((Kzy, nwb_h, R2p, Routt), weights.dtype)
+    wq = wq.at[:, :, : (bw + 2) * Cin, : out_bw * Cout].set(band_f)
+    wq = wq.at[:, :, (bw + 2) * Cin : R2, out_bw * Cout :].set(bv)
+    wq = wq.reshape(Q, R2p, Routt)
+
+    out_all = banded_gather_matmul(padded, wq, conv_plan)  # [B, Mo, Routt]
+    out = out_all[..., : out_bw * Cout]
+    out_v = out_all[..., out_bw * Cout:]
+    Do, Ho, Wo = out_shape
+    nbc_out = Do * Ho * (Wo // out_bw)
+    vmask_out = (out_v.astype(jnp.float32) > 0.5) & (out_lin < nbc_out)[..., None]
+    out = out.astype(dt) * jnp.repeat(vmask_out, Cout, axis=-1)
+    return BrickBatch(
+        features=out, brick_lin=out_lin, vmask=vmask_out, shape=out_shape, bw=out_bw,
+    )
+
+
 def from_voxels(features: jnp.ndarray, coords_zyx: jnp.ndarray, valid: jnp.ndarray,
-                shape, bw: int, mb_cap: int) -> BrickBatch:
+                shape, bw: int, mb_cap: int, spatial: bool = False) -> BrickBatch:
     """Voxelizer output (any row order) -> BrickBatch.
 
     features [B, N, C], coords_zyx [B, N, 3], valid [B, N]. Beyond mb_cap
     the LATEST-appearing bricks in the candidate list are dropped (first-
-    appearance compaction order, not cell order)."""
+    appearance compaction order, not cell order). spatial=True compacts in
+    y-major order instead (required by the banded engine, ops.banded)."""
     D, H, W = (int(s) for s in shape)
     assert W % bw == 0, f"W={W} not divisible by brick width {bw}"
     Wb = W // bw
@@ -460,7 +674,10 @@ def from_voxels(features: jnp.ndarray, coords_zyx: jnp.ndarray, valid: jnp.ndarr
     cand = jnp.concatenate([cell, dil_l.astype(jnp.int32), dil_r.astype(jnp.int32)], -1)
 
     def per_batch(cand, cell, wpos, feat, vld):
-        brick_lin = _compact_cells(cand, nbc, mb_cap)
+        if spatial:
+            brick_lin = _compact_cells_spatial(cand, nbc, mb_cap, (D, H, Wb))
+        else:
+            brick_lin = _compact_cells(cand, nbc, mb_cap)
         grid = _grid_from_lin(brick_lin, nbc, mb_cap)
         row = grid[cell]
         ok = (row >= 0) & vld
@@ -524,7 +741,9 @@ def to_sparse(bb: BrickBatch, n_cap: int) -> SparseBatch:
     return SparseBatch(features=feat_s, lin=lin_s, shape=(D, H, W))
 
 
-def from_sparse(sb: SparseBatch, bw: int, mb_cap: int) -> BrickBatch:
+def from_sparse(sb: SparseBatch, bw: int, mb_cap: int,
+                spatial: bool = False) -> BrickBatch:
     """Per-voxel SparseBatch -> BrickBatch."""
     D, H, W = sb.shape
-    return from_voxels(sb.features, sb.coords(), sb.valid, (D, H, W), bw, mb_cap)
+    return from_voxels(sb.features, sb.coords(), sb.valid, (D, H, W), bw, mb_cap,
+                       spatial=spatial)
