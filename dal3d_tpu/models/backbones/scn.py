@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops import sparse_backend as sp
+from ...parallel.mesh import bev_constraint
 from ..layers import MaskedBatchNorm, SparseConvDown, SubMConv
 from ..registry import BACKBONES
 
@@ -285,7 +286,7 @@ class FPNSpMiddleResNetFHD(nn.Module):
                       dtype=self.dtype, name="stage3", banded=banded,
                       band=bands[3], down_band=dbands[3], fb_cap=fbc)(x, train)
             middle.append(x)
-            dense = spb.to_dense(x).astype(jnp.float32)
+            dense = bev_constraint(spb.to_dense(x).astype(jnp.float32))
             return dense, middle
         if self.impl == "hybrid":
             from ...ops.dense_sparse import to_dense_grid
@@ -306,7 +307,7 @@ class FPNSpMiddleResNetFHD(nn.Module):
             middle.append(x)
             d, occ_f = x
             B, D, H, W, C = d.shape
-            dense_out = d.transpose(0, 2, 3, 4, 1).reshape(B, H, W, C * D).astype(jnp.float32)
+            dense_out = bev_constraint(d.transpose(0, 2, 3, 4, 1).reshape(B, H, W, C * D).astype(jnp.float32))
             return dense_out, middle
 
         if self.impl == "dense":
@@ -335,7 +336,7 @@ class FPNSpMiddleResNetFHD(nn.Module):
             d, occ_f = x
             B, D, H, W, C = d.shape
             # [B,D,H,W,C] -> [B,H,W,C*D], channel = c*D + d (matches to_dense)
-            dense_out = d.transpose(0, 2, 3, 4, 1).reshape(B, H, W, C * D).astype(jnp.float32)
+            dense_out = bev_constraint(d.transpose(0, 2, 3, 4, 1).reshape(B, H, W, C * D).astype(jnp.float32))
             return dense_out, middle
 
         # gather engine
@@ -357,7 +358,7 @@ class FPNSpMiddleResNetFHD(nn.Module):
         x = _Stage(128, 128, 2, (3, 1, 1), (2, 1, 1), (0, 0, 0), self.voxel_caps[3], dtype=self.dtype, name="stage3")(x, train)
         middle.append(x)
 
-        dense = sp.to_dense(x).astype(jnp.float32)  # [B, H/8, W/8, 128*D]
+        dense = bev_constraint(sp.to_dense(x).astype(jnp.float32))  # [B, H/8, W/8, 128*D]
         return dense, middle
 
 

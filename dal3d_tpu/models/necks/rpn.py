@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from ..layers import BatchNorm2d, kaiming_conv_init
 from ..registry import NECKS
+from ...parallel.mesh import bev_constraint
 
 
 @NECKS.register_module
@@ -38,7 +39,9 @@ class RPN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         cdt = jnp.dtype(self.dtype)
-        x = x.astype(cdt)
+        # model-axis spatial partitioning: rows of the BEV map shard over the
+        # ambient mesh's 'model' axis; XLA SPMD halo-exchanges the conv edges
+        x = bev_constraint(x.astype(cdt))
         upsample_start_idx = len(self.layer_nums) - len(self.us_layer_strides)
         ups = []
         for i, layer_num in enumerate(self.layer_nums):
@@ -73,4 +76,4 @@ class RPN(nn.Module):
                 ups.append(u)
         if ups:
             x = jnp.concatenate(ups, axis=-1)
-        return x.astype(jnp.float32)
+        return bev_constraint(x.astype(jnp.float32))

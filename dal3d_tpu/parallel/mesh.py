@@ -47,6 +47,45 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
-def bev_constraint(x, mesh: Mesh):
-    """Constrain a dense BEV map [B, H, W, C] to (data, model) sharding."""
-    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P("data", "model")))
+def bev_constraint(x, mesh: Optional[Mesh] = None):
+    """Partition a dense BEV tensor over the mesh: batch on 'data', the H
+    (row) axis on 'model' — XLA SPMD inserts the conv halo exchanges. Called
+    from inside model code with no mesh argument: picks up the AMBIENT mesh
+    (jax.set_mesh context installed by the trainer/dryrun); a no-op when
+    there is no ambient mesh or its 'model' axis is trivial, so single-chip
+    programs compile unchanged."""
+    if mesh is not None:
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P("data", "model"))
+        )
+    m = jax.sharding.get_abstract_mesh()
+    if (m is None or m.empty or "model" not in m.axis_names
+            or m.shape["model"] == 1 or x.ndim < 3):
+        return x
+    spec = P("data", "model", *([None] * (x.ndim - 2)))
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
+def data_parallel_predict(predict, mesh: Optional[Mesh]):
+    """Wrap a jitted (params, batch_stats, batch) predict step so pool
+    scoring / eval shard frames over the mesh 'data' axis — the TPU
+    equivalent of the reference's DDP-sharded pool pass
+    (tools/active_select.py:124-130, tools/dist_test.py:131-160).
+
+    Params/batch-stats are replicated once (memoized by identity); every
+    batch is placed batch-sharded, so jit compiles the step as SPMD over the
+    mesh with no per-call resharding."""
+    if mesh is None:
+        return predict
+    rep, bsh = replicate_sharding(mesh), batch_sharding(mesh)
+    cache: dict = {}
+
+    def wrapped(params, batch_stats, batch):
+        if cache.get("key") != (id(params), id(batch_stats)):
+            cache["key"] = (id(params), id(batch_stats))
+            cache["params"] = jax.device_put(params, rep)
+            cache["bs"] = jax.device_put(batch_stats, rep)
+        batch = jax.tree_util.tree_map(lambda x: jax.device_put(x, bsh), batch)
+        return predict(cache["params"], cache["bs"], batch)
+
+    return wrapped

@@ -93,7 +93,12 @@ class Trainer:
             batch = {k: v for k, v in batch.items() if k != "metadata"}
             if self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
-            self.state, logs = self.train_step(self.state, batch)
+                # ambient mesh: in-model bev_constraint picks up the 'model'
+                # axis (spatial partitioning of the dense BEV pipeline)
+                with jax.set_mesh(self.mesh):
+                    self.state, logs = self.train_step(self.state, batch)
+            else:
+                self.state, logs = self.train_step(self.state, batch)
             logs = {k: v for k, v in jax.tree_util.tree_map(float, logs).items()}
             iter_time = time.perf_counter() - t_data
             buf.update({**logs, "data_time": data_time, "time": iter_time})

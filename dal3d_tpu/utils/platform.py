@@ -28,6 +28,12 @@ def setup_jax(
     cache = cache_dir or os.environ.get(
         "DAL3D_JAX_CACHE", os.path.expanduser("~/.cache/dal3d_jax")
     )
+    if force_cpu:
+        # separate cache namespace: CPU executables AOT-compiled by the remote
+        # helper carry that machine's feature set and spam SIGILL warnings
+        # when loaded on this host (VERDICT r2); host-compiled CPU artifacts
+        # get their own directory
+        cache = cache + "-cpu"
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)

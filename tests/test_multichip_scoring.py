@@ -76,3 +76,66 @@ def test_sharded_pool_scoring_matches_single_device():
         np.asarray(out_single["score_entropy"]),
         rtol=2e-3, atol=2e-4,
     )
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_run_pool_scoring_cli_path_sharded(tmp_path):
+    """The REAL selector scoring path (BaseSelector.run_pool_scoring with the
+    data_parallel_predict wrapper the CLIs install) must (a) carry
+    data-sharded activations and (b) select the same frames as the
+    single-device path (VERDICT r2 item 3)."""
+    from dal3d_tpu.data.datasets.synthetic import make_synthetic_nuscenes
+    from dal3d_tpu.parallel.mesh import data_parallel_predict
+    from dal3d_tpu.runtime.steps import create_train_state, make_predict_step
+    from dal3d_tpu.selectors import build_selector
+    from dal3d_tpu.solver.optim import OneCycleSchedule, build_optimizer
+    from dal3d_tpu.utils.fileio import dump
+
+    bundle, state, pool = _setup()
+    predict = make_predict_step(bundle)
+    # pool of 8 frames in 2 batches of 4 (mesh data axis = 4)
+    batches = [
+        {k: v[i * 4:(i + 1) * 4] for k, v in pool.items()} for i in range(2)
+    ]
+    info_path = make_synthetic_nuscenes(
+        str(tmp_path / "nusc"), n_frames=8, n_logs=2, points_per_frame=50, seed=0
+    )
+    buffer_file = str(tmp_path / "buffer.json")
+
+    def run(score_fn):
+        import random
+
+        random.seed(3407)  # the CLI seeds before selecting (active_select.py)
+        dump({"0": []}, buffer_file)
+        sel = build_selector(
+            dict(type="FeatureSelector", budget=1.2, buffer_file=buffer_file,
+                 infos_origin=info_path),
+            default_args=dict(detector=score_fn, dataloader=batches),
+        )
+        sel.select_samples()
+        from dal3d_tpu.utils.fileio import load
+
+        sel.dump_file()
+        buf = load(buffer_file)
+        return buf[max(buf, key=lambda k: float(k))]
+
+    # single-device
+    single_sel = run(lambda b: predict(state.params, state.batch_stats, b))
+
+    # mesh-sharded through the CLI wrapper
+    mesh = make_mesh(n_data=4, n_model=2)
+    wrapped = data_parallel_predict(predict, mesh)
+    seen = {}
+
+    def sharded_fn(b):
+        out = wrapped(state.params, state.batch_stats, b)
+        seen["emb"] = out["embedding"]
+        return out
+
+    mesh_sel = run(sharded_fn)
+
+    assert mesh_sel == single_sel and len(mesh_sel) > 0
+    # the pool pass genuinely ran sharded: 8 devices hold [1, C] shards
+    emb = seen["emb"]
+    assert len(emb.sharding.device_set) == 8
+    assert emb.addressable_shards[0].data.shape[0] == 1

@@ -113,7 +113,12 @@ def main():
         assert args.checkpoint, "model-based selector needs --checkpoint"
         state, meta = ckpt.load_checkpoint(args.checkpoint, state)
         logger.info(f"loaded checkpoint epoch {meta.get('epoch')}")
-        predict = make_predict_step(bundle)
+        from dal3d_tpu.parallel.mesh import data_parallel_predict, make_mesh
+
+        mesh = make_mesh() if jax.device_count() > 1 else None
+        if mesh is not None:
+            logger.info(f"pool scoring sharded over mesh {mesh.shape}")
+        predict = data_parallel_predict(make_predict_step(bundle), mesh)
 
         def score_fn(batch):
             keys = (

@@ -67,7 +67,12 @@ def main():
     state = create_train_state(bundle, optimizer, jrandom.PRNGKey(0), sample)
     state, meta = ckpt.load_checkpoint(args.checkpoint, state)
     logger.info(f"loaded checkpoint epoch {meta.get('epoch')}")
-    predict = make_predict_step(bundle)
+    from dal3d_tpu.parallel.mesh import data_parallel_predict, make_mesh
+
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    if mesh is not None:
+        logger.info(f"eval sharded over mesh {mesh.shape}")
+    predict = data_parallel_predict(make_predict_step(bundle), mesh)
 
     from dal3d_tpu.runtime.evaluation import kitti_style_eval, predict_dataset
 
