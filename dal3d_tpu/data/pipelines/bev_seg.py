@@ -127,5 +127,14 @@ class LoadBEVSegmentation:
                 return res, info
             except ImportError:
                 pass
+            except (OSError, ValueError, KeyError) as e:
+                # present devkit but missing/corrupt map files: warn + fall
+                # back instead of killing training (ADVICE r2)
+                import logging
+
+                logging.getLogger("dal3d").warning(
+                    "devkit map load failed (%s: %s); using synthetic masks",
+                    type(e).__name__, e,
+                )
         res["gt_masks_bev"] = self._synthetic_masks(l2g)
         return res, info

@@ -51,8 +51,10 @@ def accumulate_matches(
 
     dist_th 1.0 m and the per-class range filter replicate the reference
     exactly (classwise_weight/evaluate.py:116 hardcodes dist_th=1.0 with the
-    cfg.dist_ths sweep commented out). Range filtering uses BEV distance from
-    the lidar origin — the devkit's ego_dist in the frame our boxes live in.
+    cfg.dist_ths sweep commented out). Range filtering replicates the
+    devkit's ego_dist: BEV distance from the ego (car) origin, read from each
+    frame's ``ego_xy`` (attached by infos_to_frames from ref_from_car);
+    frames without it fall back to lidar-origin distance.
 
     ref_frames / pred_frames: token -> dict(boxes [N, >=7] (x,y,... first two
     are the match centers), names [N] str, scores [N]; ref score defaults 1.0
@@ -70,8 +72,10 @@ def accumulate_matches(
             if len(names) == 0:
                 continue
             boxes = np.asarray(pf["boxes"], np.float64).reshape(len(names), -1)
+            rf0 = ref_frames.get(token) or {}
+            ex, ey = pf.get("ego_xy", rf0.get("ego_xy", (0.0, 0.0)))
             for i in np.flatnonzero(names == class_name):
-                if np.hypot(boxes[i, 0], boxes[i, 1]) > max_range:
+                if np.hypot(boxes[i, 0] - ex, boxes[i, 1] - ey) > max_range:
                     continue
                 entries.append((float(pf["scores"][i]), token, int(i)))
         entries.sort(key=lambda e: -e[0])
@@ -85,11 +89,12 @@ def accumulate_matches(
             cand = np.flatnonzero(rnames == class_name)
             best, best_d = None, np.inf
             pbox = np.asarray(pred_frames[token]["boxes"][pi])
+            ex, ey = rf.get("ego_xy", (0.0, 0.0))
             for gi in cand:
                 if (token, int(gi)) in taken:
                     continue
                 gbox = np.asarray(rf["boxes"][gi])
-                if np.hypot(gbox[0], gbox[1]) > max_range:  # range-filtered ref
+                if np.hypot(gbox[0] - ex, gbox[1] - ey) > max_range:  # ego_dist filter
                     continue
                 d = float(np.hypot(pbox[0] - gbox[0], pbox[1] - gbox[1]))
                 if d < best_d:
@@ -124,14 +129,22 @@ def detections_to_frames(detections: Dict[str, dict], class_names: List[str]) ->
 
 
 def infos_to_frames(infos: List[dict]) -> Dict[str, dict]:
-    """GT infos -> matching-ready frame dicts (scores None -> ref 1.0)."""
+    """GT infos -> matching-ready frame dicts (scores None -> ref 1.0).
+
+    Attaches ``ego_xy``, the car origin in the lidar frame (= translation of
+    ``ref_from_car``), so the range filter can replicate the devkit's
+    ego_dist exactly instead of approximating with lidar-origin distance."""
     out = {}
     for info in infos:
-        out[info["token"]] = {
+        frame = {
             "boxes": np.asarray(info["gt_boxes"], np.float32).reshape(-1, 9),
             "names": np.asarray(info["gt_names"]),
             "scores": None,
         }
+        rfc = info.get("ref_from_car")
+        if rfc is not None:
+            frame["ego_xy"] = np.asarray(rfc, np.float64)[:2, 3]
+        out[info["token"]] = frame
     return out
 
 

@@ -208,6 +208,72 @@ def test_banded_backbone_matches_brick():
                                rtol=1e-3, atol=1e-3)
 
 
+def test_banded_chain_matches_oracle_and_brick():
+    """Three-level chain (subm -> down 16->16 -> subm -> down 16->8) at
+    production brick widths: banded == brick == per-voxel oracle EXACTLY when
+    capacities don't truncate.
+
+    Regression for a round-3 misdiagnosis: with under-sized out_cap the two
+    engines drop DIFFERENT bricks (first-appearance vs y-major spatial order)
+    and diverge from each other AND the oracle — an observable capacity
+    overflow (brick_stats), not an engine bug."""
+    rng = np.random.RandomState(0)
+    shape = (16, 256, 256)
+    C = 5
+    pts = []
+    while len(pts) < 400:
+        z, y, x0 = rng.randint(6), rng.randint(256), rng.randint(256)
+        for dx in range(rng.randint(1, 8)):
+            if x0 + dx < 256:
+                pts.append((z, y, x0 + dx))
+    pts = list(dict.fromkeys(pts))[:400]
+    n = len(pts)
+    coords = np.zeros((1, 400, 3), np.int64)
+    coords[0, :n] = np.array(pts)
+    feats = np.zeros((1, 400, C), np.float32)
+    feats[0, :n] = rng.randn(n, C)
+    valid = np.zeros((1, 400), bool)
+    valid[0, :n] = True
+    feats, coords, valid = jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(valid)
+
+    w1 = jnp.asarray(rng.randn(27, C, 8).astype(np.float32)) * 0.2
+    w2 = jnp.asarray(rng.randn(27, 8, 8).astype(np.float32)) * 0.2
+    w3 = jnp.asarray(rng.randn(27, 8, 8).astype(np.float32)) * 0.2
+    w4 = jnp.asarray(rng.randn(27, 8, 8).astype(np.float32)) * 0.2
+    caps = (2048, 2048, 2048)
+
+    def chain_brick():
+        bb = spb.from_voxels(feats, coords, valid, shape, bw=16, mb_cap=caps[0])
+        o = spb.subm_conv(bb, w1, spb.subm_rulebook(bb, 3))
+        d = spb.downsample_conv(o, w2, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                out_bw=16, out_cap=caps[1])
+        o2 = spb.subm_conv(d, w3, spb.subm_rulebook(d, 3))
+        return o2, spb.downsample_conv(o2, w4, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                       out_bw=8, out_cap=caps[2])
+
+    def chain_banded():
+        bb = spb.from_voxels(feats, coords, valid, shape, bw=16, mb_cap=caps[0],
+                             spatial=True)
+        o = spb.subm_conv(bb, w1, spb.subm_rulebook_banded(bb, 3, band=768, fb_cap=512))
+        d = spb.downsample_conv_banded(o, w2, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                       out_bw=16, out_cap=caps[1], band=768, fb_cap=2048)
+        o2 = spb.subm_conv(d, w3, spb.subm_rulebook_banded(d, 3, band=512, fb_cap=512))
+        return o2, spb.downsample_conv_banded(o2, w4, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                              out_bw=8, out_cap=caps[2], band=512,
+                                              fb_cap=2048)
+
+    o2b, out_b = chain_brick()
+    o2g, out_g = chain_banded()
+    # per-voxel oracle on the (identical) L1 input of the final downsample
+    sb_in = spb.to_sparse(o2g, n_cap=8192)
+    oracle = np.asarray(sps.to_dense(sps.sparse_conv_downsample(
+        sb_in, w4, (3, 3, 3), (2, 2, 2), (1, 1, 1), 4096)))
+    A = np.asarray(spb.to_dense(out_b))
+    G = np.asarray(spb.to_dense(out_g))
+    np.testing.assert_allclose(G, oracle, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(A, G, rtol=0, atol=1e-4)
+
+
 def test_pallas_kernel_interpret_matches_xla():
     """The actual Mosaic kernel (interpret mode) == the XLA reference path."""
     rng = np.random.RandomState(8)

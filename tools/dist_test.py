@@ -45,7 +45,15 @@ def main():
     os.makedirs(work_dir, exist_ok=True)
     logger = get_root_logger(os.path.join(work_dir, "test.log"))
 
-    bundle = build_detector(cfg)
+    # metric eval defaults to the EXACT top-k prefilter so reported mAP is
+    # reproducible against the reference decode; production/bench configs
+    # opt back into approx_max_k (~0.95 recall) explicitly (ADVICE r2)
+    tcfg = dict(cfg.get("test_cfg", {}) or {})
+    nms = dict(tcfg.get("nms", {}))
+    nms.setdefault("use_approx_topk", False)
+    tcfg["nms"] = nms
+    logger.info(f"top-k prefilter: {'approx' if nms['use_approx_topk'] else 'exact'}")
+    bundle = build_detector(cfg, test_cfg=tcfg)
     val = dict(cfg.data["val"])
     dataset = NuScenesDataset(
         info_path=val["info_path"],
