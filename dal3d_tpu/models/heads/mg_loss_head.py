@@ -1,11 +1,29 @@
-"""MultiGroupLossHead — CBGS head variant with per-anchor IoU prediction.
+"""IoU / frame-loss head variants of the multi-group CBGS head.
 
-Re-design of det3d/models/bbox_heads/mg_loss_head.py:176 (and the closely
-related mg_iou_head.py) used by the partial-label / IoU-estimation
-experiments: each task head adds a ``conv_iou`` branch predicting the 3D IoU
-between the decoded box and its matched GT; the IoU target is computed with
-the native ``boxes_iou3d`` (replacing the boxes_iou3d_gpu CUDA kernel) and
-supervised with smooth-L1 on positives.
+The reference ships two distinct ~900-LoC variants used by the partial-label
+/ loss-estimation AL experiments:
+
+- det3d/models/bbox_heads/mg_iou_head.py:162-209 (IoUHead) + :212-946
+  (MultiGroupIoUHead): each task adds a per-ANCHOR ``conv_iou`` MLP branch
+  (1x1 Conv 512 -> BN -> ReLU -> 1x1 Conv) predicting the 3D IoU between the
+  decoded box and its matched GT. The IoU target is computed on device with
+  ``boxes_iou3d`` (replacing the boxes_iou3d_gpu CUDA kernel) and supervised
+  either with smooth-L1 on (iou - mean)/std normalized targets and
+  reg-weights, or with a sigmoid loss on raw targets and cls-weights
+  (mg_iou_head.py:141-150 dispatches on the loss functor type). At predict
+  time the smooth-L1 flavor de-normalizes (* std + mean, clamp [0,1]) and
+  the sigmoid flavor applies a sigmoid (:582-608). NOTE the reference's
+  create_loss ends with ``iou_losses = 0`` (:151) — its shipped trainer
+  never actually backpropagates the branch; we keep the loss live (weight
+  configurable, 0.0 restores the reference's effective behavior, documented
+  rather than replicated as a silent bug).
+
+- det3d/models/bbox_heads/mg_loss_head.py:123-176 (LossHead) + :176-907
+  (MultiGroupLossHead): each task adds a FRAME-level loss estimate — global
+  average pool over the BEV map, then 1x1 Conv C/2 -> BN -> ReLU -> 1x1
+  Conv num_loss — and ``compute_loss_loss`` (:374-376) supervises
+  |loss_gt - sum(loss_preds)| / B against the detector's observed training
+  loss (the UWE / loss-prediction AL signal).
 """
 from __future__ import annotations
 
@@ -24,23 +42,73 @@ from .mg_head import LossConfig, MultiGroupHead, multi_group_loss
 
 
 @HEADS.register_module
-class MultiGroupLossHead(nn.Module):
+class MultiGroupIoUHead(nn.Module):
+    """Multi-group head + per-anchor IoU-quality branch per task.
+
+    Branch structure mirrors reference IoUHead (mg_iou_head.py:181-186):
+    1x1 Conv(iou_hidden) -> BN -> ReLU -> 1x1 Conv(num_anchors)."""
+
     num_classes: Sequence[int]
     code_size: int = 10
     num_rot: int = 2
+    iou_hidden: int = 512
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> List[Dict[str, jnp.ndarray]]:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> List[Dict[str, jnp.ndarray]]:
         preds = MultiGroupHead(
             num_classes=tuple(self.num_classes), code_size=self.code_size,
             num_rot=self.num_rot,
         )(x)
         for t, nc in enumerate(self.num_classes):
             num_a = nc * self.num_rot
+            h = nn.Conv(self.iou_hidden, (1, 1), kernel_init=kaiming_conv_init(),
+                        name=f"iou_mlp0_{t}")(x)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3, name=f"iou_bn_{t}")(h)
+            h = nn.relu(h)
             preds[t]["iou_preds"] = nn.Conv(
-                num_a, (1, 1), kernel_init=kaiming_conv_init()
-            )(x)
+                num_a, (1, 1), kernel_init=kaiming_conv_init(), name=f"iou_mlp1_{t}"
+            )(h)
         return preds
+
+
+@HEADS.register_module
+class MultiGroupLossHead(nn.Module):
+    """Multi-group head + frame-level loss-estimation branch per task.
+
+    Reference LossHead (mg_loss_head.py:142-148): global average pool, then
+    1x1 Conv(C/2) -> BN -> ReLU -> 1x1 Conv(num_loss) -> ``loss_preds``
+    [B, num_loss] per task."""
+
+    num_classes: Sequence[int]
+    code_size: int = 10
+    num_rot: int = 2
+    num_loss: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> List[Dict[str, jnp.ndarray]]:
+        preds = MultiGroupHead(
+            num_classes=tuple(self.num_classes), code_size=self.code_size,
+            num_rot=self.num_rot,
+        )(x)
+        pooled = x.mean(axis=(1, 2), keepdims=True)  # GAP -> [B, 1, 1, C]
+        for t in range(len(self.num_classes)):
+            h = nn.Conv(x.shape[-1] // 2, (1, 1), kernel_init=kaiming_conv_init(),
+                        name=f"loss_mlp0_{t}")(pooled)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3, name=f"loss_bn_{t}")(h)
+            h = nn.relu(h)
+            h = nn.Conv(self.num_loss, (1, 1), kernel_init=kaiming_conv_init(),
+                        name=f"loss_mlp1_{t}")(h)
+            preds[t]["loss_preds"] = h.reshape(h.shape[0], -1)  # [B, num_loss]
+        return preds
+
+
+def compute_loss_loss(loss_gt, loss_preds_by_task, batch_size: int):
+    """|loss_gt - sum over tasks of loss_preds.sum()| / B — reference
+    mg_loss_head.py:374-376 (summed over the task list like its loss())."""
+    total_pred = sum(p.sum() for p in loss_preds_by_task)
+    return jnp.abs(loss_gt - total_pred) / batch_size
 
 
 def multi_group_loss_with_iou(
@@ -53,8 +121,19 @@ def multi_group_loss_with_iou(
     num_classes: Sequence[int],
     cfg: LossConfig = LossConfig(),
     iou_loss_weight: float = 1.0,
+    iou_norm: Dict[str, float] | None = None,
+    iou_loss_type: str = "smooth_l1",
 ):
-    """Base multi-group loss + per-task IoU regression on positives."""
+    """Base multi-group loss + per-task IoU regression.
+
+    iou_loss_type:
+    - "smooth_l1": targets normalized (iou - mean)/std, reg-weighted
+      (reference mg_iou_head.py:141-145; iou_norm defaults mean .5 / std .5),
+    - "sigmoid": sigmoid cross-entropy on raw [0,1] targets, cls-weighted
+      (the WeightedSigmoidLoss dispatch branch, :146-150).
+    """
+    if iou_norm is None:
+        iou_norm = {"mean": 0.5, "std": 0.5}
     logs = multi_group_loss(preds, labels, reg_targets, num_classes, cfg)
     iou_total = 0.0
     for t, pred in enumerate(preds):
@@ -65,16 +144,39 @@ def multi_group_loss_with_iou(
         decoded = box_coder.decode_jax(box_preds, anchors[None])  # [B, A, 9]
         iou_preds = pred["iou_preds"].reshape(B, -1)
 
-        def per_sample(dec, gts, lab):
+        def per_sample(dec, gts):
             iou = boxes_iou3d(dec, gts)  # [A, G]
             return iou.max(axis=1)
 
-        target_iou = jax.vmap(per_sample)(decoded, gt_boxes_by_task[t], labels[t])
-        _, reg_weights, _ = prepare_loss_weights(labels[t], cfg.pos_cls_weight, cfg.neg_cls_weight)
-        iou_loss = weighted_smooth_l1(
-            iou_preds[..., None], jax.lax.stop_gradient(target_iou)[..., None], reg_weights
-        ).sum() / B
+        target_iou = jax.lax.stop_gradient(
+            jax.vmap(per_sample)(decoded, gt_boxes_by_task[t])
+        )
+        cls_weights, reg_weights, _ = prepare_loss_weights(
+            labels[t], cfg.pos_cls_weight, cfg.neg_cls_weight
+        )
+        if iou_loss_type == "smooth_l1":
+            tgt = (target_iou - iou_norm["mean"]) / iou_norm["std"]
+            iou_loss = weighted_smooth_l1(
+                iou_preds[..., None], tgt[..., None], reg_weights
+            ).sum() / B
+        elif iou_loss_type == "sigmoid":
+            p = iou_preds
+            ce = jnp.maximum(p, 0) - p * target_iou + jnp.log1p(jnp.exp(-jnp.abs(p)))
+            iou_loss = (ce * cls_weights).sum() / B
+        else:
+            raise ValueError(f"unknown iou_loss_type {iou_loss_type!r}")
         iou_total = iou_total + iou_loss
     logs["iou_loss"] = iou_total
     logs["loss"] = logs["loss"] + iou_loss_weight * iou_total
     return logs
+
+
+def decode_iou_preds(iou_preds: jnp.ndarray, iou_loss_type: str = "smooth_l1",
+                     iou_norm: Dict[str, float] | None = None) -> jnp.ndarray:
+    """Predict-time IoU decode (reference mg_iou_head.py:582-608): smooth-L1
+    flavor de-normalizes and clamps, sigmoid flavor applies a sigmoid."""
+    if iou_loss_type == "smooth_l1":
+        if iou_norm is None:
+            iou_norm = {"mean": 0.5, "std": 0.5}
+        return jnp.clip(iou_preds * iou_norm["std"] + iou_norm["mean"], 0.0, 1.0)
+    return jax.nn.sigmoid(iou_preds)

@@ -24,7 +24,7 @@ from dal3d_tpu.runtime.steps import create_train_state, make_train_step, make_pr
 from dal3d_tpu.solver.optim import OneCycleSchedule, build_optimizer
 from dal3d_tpu.eval.kitti_eval import kitti_eval
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.overfit]
 
 VCFG = VoxelConfig(
     point_cloud_range=(-8.0, -8.0, -3.0, 8.0, 8.0, 1.0),

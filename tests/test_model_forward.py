@@ -152,3 +152,62 @@ def test_predict_with_iou_branch(setup):
     dets_r = multi_group_predict(preds, tas, coder, tcfg, iou_rescore_alpha=0.5)
     s0, s1 = np.asarray(dets["scores"]), np.asarray(dets_r["scores"])
     assert not np.allclose(s0[vm], s1[np.asarray(dets_r["det_valid"])][: vm.sum()])
+
+
+def test_iou_and_loss_head_variants(setup):
+    """The two reference head variants (mg_iou_head / mg_loss_head) split:
+    per-anchor IoU MLP branch vs GAP frame-loss branch, both loss flavors."""
+    from dal3d_tpu.models import (
+        MultiGroupIoUHead, MultiGroupLossHead, compute_loss_loss,
+        decode_iou_preds, multi_group_loss_with_iou,
+    )
+
+    model, variables, pts, valid = setup
+    out = model.apply(variables, jnp.asarray(pts), jnp.asarray(valid), False)
+    neck = out["neck_feat"]  # [2, 8, 8, 128]
+
+    # --- IoU head: per-anchor branch shape + BN train-mode mutation ---
+    ih = MultiGroupIoUHead(num_classes=NUM_CLASSES, iou_hidden=32)
+    v = ih.init(jax.random.PRNGKey(1), neck, False)
+    preds = ih.apply(v, neck, False)
+    assert preds[0]["iou_preds"].shape == (2, 8, 8, 2)   # 1 class * 2 rot
+    assert preds[1]["iou_preds"].shape == (2, 8, 8, 4)   # 2 classes * 2 rot
+    _, mut = ih.apply(v, neck, True, mutable=["batch_stats"])
+    assert "batch_stats" in mut
+
+    # --- both IoU loss flavors + predict-time decode ---
+    coder = GroundBox3dCoder(vec_encode=True, n_dim=9)
+    tas = generate_task_anchors(GENS, TASKS, [1, 8, 8])
+    assigner = DeviceTargetAssigner(tas, coder)
+    B, G = 2, 8
+    gt = np.zeros((2, B, G, 9), np.float32)
+    gt[..., 3:6] = 1.0
+    gt[0, 0, 0] = [2, 3, -0.8, 1.9, 4.6, 1.7, 0, 0, 0.3]
+    cls = np.zeros((2, B, G), np.int32)
+    cls[0, 0, 0] = 1
+    labels, targets, _ = assigner.assign_all(
+        [jnp.asarray(gt[i]) for i in range(2)], [jnp.asarray(cls[i]) for i in range(2)]
+    )
+    gt_by_task = [jnp.asarray(gt[i]) for i in range(2)]
+    for flavor in ("smooth_l1", "sigmoid"):
+        logs = multi_group_loss_with_iou(
+            preds, labels, targets, tas, coder, gt_by_task, NUM_CLASSES,
+            LossConfig(), iou_loss_type=flavor,
+        )
+        assert np.isfinite(float(logs["iou_loss"]))
+        assert float(logs["loss"]) >= float(logs["loss"] - logs["iou_loss"])
+    raw = jnp.asarray([[-5.0, 0.0, 5.0]])
+    d_l1 = np.asarray(decode_iou_preds(raw, "smooth_l1"))
+    d_sg = np.asarray(decode_iou_preds(raw, "sigmoid"))
+    assert (d_l1 >= 0).all() and (d_l1 <= 1).all()
+    assert (d_sg > 0).all() and (d_sg < 1).all()
+    assert d_l1[0, 0] == 0.0 and d_l1[0, 2] == 1.0  # de-norm + clamp
+
+    # --- frame-loss head: GAP branch -> [B, num_loss] + its L1 loss ---
+    lh = MultiGroupLossHead(num_classes=NUM_CLASSES, num_loss=1)
+    vl = lh.init(jax.random.PRNGKey(2), neck, False)
+    lpreds = lh.apply(vl, neck, False)
+    assert lpreds[0]["loss_preds"].shape == (2, 1)
+    assert lpreds[1]["loss_preds"].shape == (2, 1)
+    ll = compute_loss_loss(jnp.asarray(3.7), [p["loss_preds"] for p in lpreds], 2)
+    assert np.isfinite(float(ll)) and float(ll) >= 0
