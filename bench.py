@@ -40,6 +40,10 @@ def main():
                                        "configs", "cbgs_spatial_temporal.py"))
     from dal3d_tpu.models.builder import build_detector
 
+    # engine A/B without editing configs: BENCH_IMPL=brick|banded|hybrid|gather
+    impl = os.environ.get("BENCH_IMPL")
+    if impl:
+        cfg["model"]["backbone"]["impl"] = impl
     bundle = build_detector(cfg)
 
     # B=2 per chip; larger batches overflow v5e-lite HBM at the honest

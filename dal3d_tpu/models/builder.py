@@ -118,6 +118,10 @@ def build_detector(cfg, train_cfg=None, test_cfg=None) -> DetectorBundle:
         backbone_dtype=str(backbone_cfg.get("dtype", "float32")),
         brick_widths=tuple(backbone_cfg.get("brick_widths", (16, 16, 8, 4, 4))),
         brick_caps=tuple(backbone_cfg.get("brick_caps", (48000, 17000, 10000, 6000, 6000))),
+        band_widths=tuple(backbone_cfg.get("band_widths", (768, 512, 512, 512, 512))),
+        down_bands=tuple(backbone_cfg.get("down_bands", (2048, 1024, 512, 512))),
+        band_fb_cap=int(backbone_cfg.get("band_fb_cap", 256)),
+        banded_caps=tuple(backbone_cfg.get("banded_caps", (48000, 17024, 9984, 6016, 6016))),
     )
 
     return DetectorBundle(

@@ -43,10 +43,16 @@ class FPNVoxelNet(nn.Module):
     sort_free_voxelize: bool = True
     # backbone compute dtype ("bfloat16" for the bandwidth-bound sparse path)
     backbone_dtype: str = "float32"
-    # "brick" (W-run packing; fastest), "hybrid", "dense", or "gather"
+    # "brick" (W-run packing), "banded" (brick + MXU one-hot gather kernel),
+    # "hybrid", "dense", or "gather"
     backbone_impl: str = "gather"
     brick_widths: Tuple[int, ...] = (16, 16, 8, 4, 4)
     brick_caps: Tuple[int, ...] = (48000, 17000, 10000, 6000, 6000)
+    # banded-engine knobs (impl="banded"; see FPNSpMiddleResNetFHD)
+    band_widths: Tuple[int, ...] = (768, 512, 512, 512, 512)
+    down_bands: Tuple[int, ...] = (2048, 1024, 512, 512)
+    band_fb_cap: int = 256
+    banded_caps: Tuple[int, ...] = (48000, 17024, 9984, 6016, 6016)
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, points_valid: jnp.ndarray, train: bool = False,
@@ -60,7 +66,7 @@ class FPNVoxelNet(nn.Module):
             vox_fn = voxelize_mean_grid if self.sort_free_voxelize else voxelize_mean
             vox = jax.vmap(lambda p, v: vox_fn(p, v, cfg))(points, points_valid)
             vf, vc, vv = vox["features"], vox["coordinates"], vox["voxel_valid"]
-        if self.backbone_impl == "brick":
+        if self.backbone_impl in ("brick", "banded"):
             # brick engine packs straight from (unordered) voxel lists — the
             # sorted SparseBatch build (argsort over max_voxel_num) is skipped
             sb = (vf, vc, vv, tuple(cfg.sparse_shape))
@@ -70,6 +76,8 @@ class FPNVoxelNet(nn.Module):
             num_input_features=self.num_input_features, voxel_caps=self.voxel_caps,
             dtype=self.backbone_dtype, impl=self.backbone_impl,
             brick_widths=self.brick_widths, brick_caps=self.brick_caps,
+            band_widths=self.band_widths, down_bands=self.down_bands,
+            band_fb_cap=self.band_fb_cap, banded_caps=self.banded_caps,
         )(sb, train)
         RematRPN = nn.remat(RPN, static_argnums=(2,))
         neck = RematRPN(

@@ -19,7 +19,9 @@ from dal3d_tpu.utils.platform import setup_jax
 def parse_args():
     p = argparse.ArgumentParser(description="Evaluate a detector")
     p.add_argument("config")
-    p.add_argument("--checkpoint", required=True, help="work_dir with checkpoints")
+    p.add_argument("--checkpoint", help="work_dir with checkpoints")
+    p.add_argument("--torch_init", help="npz from tools/convert_second.py "
+                   "(evaluate a converted reference checkpoint)")
     p.add_argument("--out", help="pkl file to dump raw detections")
     p.add_argument("--work_dir", default=None)
     p.add_argument("--batch_size", type=int, default=None)
@@ -73,8 +75,17 @@ def main():
     import jax.random as jrandom
 
     state = create_train_state(bundle, optimizer, jrandom.PRNGKey(0), sample)
-    state, meta = ckpt.load_checkpoint(args.checkpoint, state)
-    logger.info(f"loaded checkpoint epoch {meta.get('epoch')}")
+    if args.torch_init:
+        from dal3d_tpu.models.convert_second import apply_torch_init
+
+        impl = cfg["model"]["backbone"].get("impl", "gather")
+        state = apply_torch_init(state, args.torch_init, impl, logger=logger)
+        logger.info(f"initialized from converted torch checkpoint {args.torch_init}")
+    elif args.checkpoint:
+        state, meta = ckpt.load_checkpoint(args.checkpoint, state)
+        logger.info(f"loaded checkpoint epoch {meta.get('epoch')}")
+    else:
+        raise SystemExit("one of --checkpoint / --torch_init is required")
     from dal3d_tpu.parallel.mesh import data_parallel_predict, make_mesh
 
     mesh = make_mesh() if jax.device_count() > 1 else None

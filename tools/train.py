@@ -22,6 +22,8 @@ def parse_args():
     p.add_argument("--work_dir", help="the dir to save logs and checkpoints")
     p.add_argument("--resume_from", help="checkpoint dir to resume from")
     p.add_argument("--load_from", help="checkpoint dir to warm-start weights from")
+    p.add_argument("--torch_init", help="npz from tools/convert_second.py to "
+                   "warm-start from a converted reference checkpoint")
     p.add_argument("--budget", type=str, default=None, help="AL budget suffix for info paths")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--epochs", type=int, default=None, help="override total epochs")
@@ -122,6 +124,13 @@ def main():
         trainer.resume(work_dir=rd)
     elif args.load_from:
         trainer.load_from(args.load_from)
+    elif args.torch_init:
+        from dal3d_tpu.models.convert_second import apply_torch_init
+
+        impl = cfg["model"]["backbone"].get("impl", "gather")
+        trainer.state = apply_torch_init(trainer.state, args.torch_init, impl,
+                                         logger=logger)
+        logger.info(f"warm-started from converted torch checkpoint {args.torch_init}")
 
     # in-training val workflow [('train', N), ('val', 1)] (reference
     # trainer.py:453,526): run the eval pass every N train epochs
