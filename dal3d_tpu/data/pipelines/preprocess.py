@@ -172,14 +172,16 @@ class ReformatFixedShape:
 
             vh = self.voxelize_host
             M = int(vh["max_voxel_num"])
-            voxels, coords, npts = host_ops.points_to_voxel(
+            bf16 = bool(vh.get("bf16", True))  # halves the H2D voxel payload
+            feats, coords, npts = host_ops.points_to_voxel_mean(
                 points[: self.max_points].astype(np.float32),
                 vh["voxel_size"], vh["range"],
                 int(vh["max_points_in_voxel"]), M,
+                n_threads=int(vh.get("n_threads", 0)), bf16=bf16,
             )
-            n = voxels.shape[0]
-            feat = np.zeros((M, points.shape[1]), np.float32)
-            feat[:n] = voxels.sum(axis=1) / np.maximum(npts, 1)[:, None]
+            n = feats.shape[0]
+            feat = np.zeros((M, points.shape[1]), feats.dtype)
+            feat[:n] = feats
             vcoords = np.zeros((M, 3), np.int32)
             vcoords[:n] = coords
             vvalid = np.zeros((M,), bool)

@@ -163,7 +163,7 @@ class _BrickL0(nn.Module):
         grid = spb.build_brick_grid(bb)  # shared: rulebook + downsample plan
         if self.banded:
             rb = spb.subm_rulebook_banded(bb, 3, grid, band=self.band,
-                                          fb_cap=self.fb_cap)
+                                          fb_cap=self.fb_cap, symmetric=train)
         else:
             rb = spb.subm_rulebook(bb, 3, grid)
         x = SubMConv(16, use_bias=False, dtype=self.dtype)(bb, rb)
@@ -175,7 +175,7 @@ class _BrickL0(nn.Module):
             32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.out_cap,
             use_bias=False, dtype=self.dtype, out_bw=self.bw_out,
             banded=self.banded, band=self.down_band, fb_cap=self.fb_cap * 2,
-        )(x, grid=grid)
+        )(x, grid=grid, train=train)
         f = nn.relu(MaskedBatchNorm()(x.feat4(), x.vmask, train))
         return x.replace(features=f.reshape(x.features.shape))
 
@@ -205,7 +205,7 @@ class _BrickStage(nn.Module):
         if self.num_blocks > 0:
             if self.banded:
                 rb = spb.subm_rulebook_banded(x, 3, grid, band=self.band,
-                                              fb_cap=self.fb_cap)
+                                              fb_cap=self.fb_cap, symmetric=train)
             else:
                 rb = spb.subm_rulebook(x, 3, grid)
             for _ in range(self.num_blocks):
@@ -214,7 +214,7 @@ class _BrickStage(nn.Module):
             self.out_planes, self.down_kernel, self.down_stride, self.down_padding,
             self.out_cap, use_bias=False, dtype=self.dtype, out_bw=self.bw_out,
             banded=self.banded, band=self.down_band, fb_cap=self.fb_cap * 2,
-        )(x, grid=grid)
+        )(x, grid=grid, train=train)
         f = nn.relu(MaskedBatchNorm()(x.feat4(), x.vmask, train))
         return x.replace(features=f.reshape(x.features.shape))
 

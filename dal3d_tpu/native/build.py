@@ -18,7 +18,7 @@ OUT = os.path.join(HERE, "libdal3d_host.so")
 def build(verbose: bool = True) -> str:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        SRC, "-o", OUT,
+        "-pthread", SRC, "-o", OUT,
     ]
     if verbose:
         print(" ".join(cmd))

@@ -41,6 +41,12 @@ def _load() -> Optional[ctypes.CDLL]:
     )
     lib.points_to_voxel.restype = ctypes.c_int
     lib.points_to_voxel.argtypes = [f32p, i64, i32, f32p, f32p, i32p, i32, i32, f32p, i32p, i32p]
+    if hasattr(lib, "points_to_voxel_mean_mt"):  # stale pre-r3 build lacks it
+        lib.points_to_voxel_mean_mt.restype = ctypes.c_int
+        lib.points_to_voxel_mean_mt.argtypes = [
+            f32p, i64, i32, f32p, f32p, i32p, i32, i32, i32, i32,
+            ctypes.c_void_p, i32p, i32p,
+        ]
     lib.box_collision_test.restype = None
     lib.box_collision_test.argtypes = [f32p, i64, f32p, i64, u8p]
     lib.rotate_nms_cpu.restype = None
@@ -75,6 +81,57 @@ def points_to_voxel(points, voxel_size, point_cloud_range, max_points, max_voxel
         max_points, max_voxels, voxels, coords, npv,
     )
     return voxels[:n], coords[:n], npv[:n]
+
+
+def points_to_voxel_mean(points, voxel_size, point_cloud_range, max_points,
+                         max_voxels, n_threads: int = 0, bf16: bool = False):
+    """Parallel mean voxelizer: (mean_features [n, F], coords zyx [n, 3],
+    num_points [n]) with EXACT sequential semantics (first-appearance voxel
+    order + truncation, mean over each voxel's first max_points points).
+
+    bf16=True returns mean features as ml_dtypes.bfloat16 (half H2D payload).
+    n_threads 0 = the process's usable core count (sched_getaffinity — C++
+    hardware_concurrency overreports under cgroup CPU limits and would pick
+    the 3-phase merge path on a 1-core box where the single-pass path is
+    2x faster). Falls back to the sequential path + host mean when the
+    native lib is unavailable."""
+    lib = _load()
+    if n_threads <= 0:
+        try:
+            n_threads = len(os.sched_getaffinity(0))
+        except AttributeError:  # non-linux
+            n_threads = os.cpu_count() or 1
+    points = np.ascontiguousarray(points, np.float32)
+    if lib is None or not hasattr(lib, "points_to_voxel_mean_mt"):
+        voxels, coords, npv = points_to_voxel(
+            points, voxel_size, point_cloud_range, max_points, max_voxels)
+        mean = voxels.sum(1) / np.maximum(npv, 1)[:, None]
+        if bf16:
+            import ml_dtypes
+
+            mean = mean.astype(ml_dtypes.bfloat16)
+        return mean, coords, npv
+    vs = np.ascontiguousarray(voxel_size, np.float32)
+    pcr = np.asarray(point_cloud_range, np.float32)
+    grid = np.round((pcr[3:] - pcr[:3]) / vs).astype(np.int32)
+    F = points.shape[1]
+    if bf16:
+        mean = np.zeros((max_voxels, F), np.uint16)
+    else:
+        mean = np.zeros((max_voxels, F), np.float32)
+    coords = np.zeros((max_voxels, 3), np.int32)
+    npv = np.zeros((max_voxels,), np.int32)
+    n = lib.points_to_voxel_mean_mt(
+        points, points.shape[0], F, vs, np.ascontiguousarray(pcr[:3]),
+        np.ascontiguousarray(grid), max_points, max_voxels,
+        int(n_threads), 1 if bf16 else 0,
+        mean.ctypes.data_as(ctypes.c_void_p), coords, npv,
+    )
+    if bf16:
+        import ml_dtypes
+
+        mean = mean.view(ml_dtypes.bfloat16)
+    return mean[:n], coords[:n], npv[:n]
 
 
 def box_collision_test(corners_a, corners_b):

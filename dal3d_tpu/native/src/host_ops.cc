@@ -13,6 +13,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -58,6 +59,204 @@ int points_to_voxel(const float* points, int64_t n_points, int n_feat,
                   sizeof(float) * n_feat);
       num_points_per_voxel[v] = n + 1;
     }
+  }
+  return n_voxels;
+}
+
+// ---------------------------------------------------------------------------
+// Parallel mean voxelizer: same first-appearance / first-K semantics as
+// points_to_voxel but emits per-voxel MEAN features directly (what the
+// mean-VFE consumes), skipping the [max_voxels, max_points, n_feat] buffer.
+//
+// Exactness under parallelism: phase A computes voxel keys per point range
+// (embarrassingly parallel); phase B assigns each KEY to one thread (hash
+// ownership) and every thread scans all keys in point order, so each voxel's
+// first-K accumulation order is exactly the sequential one; phase C merges
+// the per-thread voxel lists (each ascending in first-point index p0) by p0,
+// reproducing the sequential first-appearance voxel order and its
+// max_voxels truncation bit-for-bit.
+// emit_bf16 != 0 writes round-to-nearest-even bfloat16 (uint16) into
+// mean_feats (halves the H2D payload).
+struct VoxEntry {
+  int64_t key;
+  int64_t p0;
+  int32_t cnt;
+  int32_t sum_off;  // index into thread-local sum storage (n_feat floats)
+};
+
+static inline uint16_t f32_to_bf16(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  uint32_t lsb = (x >> 16) & 1u;
+  x += 0x7fffu + lsb;  // round to nearest even
+  return static_cast<uint16_t>(x >> 16);
+}
+
+int points_to_voxel_mean_mt(const float* points, int64_t n_points, int n_feat,
+                            const float* voxel_size, const float* range_min,
+                            const int* grid_size, int max_points, int max_voxels,
+                            int n_threads, int emit_bf16,
+                            void* mean_feats, int32_t* coords,
+                            int32_t* num_points_per_voxel) {
+  const int nx = grid_size[0], ny = grid_size[1], nz = grid_size[2];
+  int T = n_threads > 0 ? n_threads
+                        : static_cast<int>(std::thread::hardware_concurrency());
+  if (T < 1) T = 1;
+  if (T > 32) T = 32;
+
+  if (T == 1) {
+    // single-pass fast path: hash -> accumulate sums in-place; beats the
+    // generic 3-phase machinery (no keys array, no merge) and the plain
+    // points_to_voxel (no [mv, mp, F] buffer traffic).
+    std::unordered_map<int64_t, int32_t> voxel_of;
+    voxel_of.reserve(static_cast<size_t>(max_voxels) * 2);
+    std::vector<float> sum(static_cast<size_t>(max_voxels) * n_feat, 0.0f);
+    int n_voxels = 0;
+    for (int64_t p = 0; p < n_points; ++p) {
+      const float* pt = points + p * n_feat;
+      int ix = static_cast<int>(std::floor((pt[0] - range_min[0]) / voxel_size[0]));
+      int iy = static_cast<int>(std::floor((pt[1] - range_min[1]) / voxel_size[1]));
+      int iz = static_cast<int>(std::floor((pt[2] - range_min[2]) / voxel_size[2]));
+      if (ix < 0 || ix >= nx || iy < 0 || iy >= ny || iz < 0 || iz >= nz) continue;
+      int64_t key = (static_cast<int64_t>(iz) * ny + iy) * nx + ix;
+      auto it = voxel_of.find(key);
+      int v;
+      if (it == voxel_of.end()) {
+        if (n_voxels >= max_voxels) continue;
+        v = n_voxels++;
+        voxel_of.emplace(key, v);
+        coords[v * 3 + 0] = iz;
+        coords[v * 3 + 1] = iy;
+        coords[v * 3 + 2] = ix;
+        num_points_per_voxel[v] = 0;
+      } else {
+        v = it->second;
+      }
+      int n = num_points_per_voxel[v];
+      if (n < max_points) {
+        float* s = sum.data() + static_cast<int64_t>(v) * n_feat;
+        for (int f = 0; f < n_feat; ++f) s[f] += pt[f];
+        num_points_per_voxel[v] = n + 1;
+      }
+    }
+    float* outf = static_cast<float*>(mean_feats);
+    uint16_t* outb = static_cast<uint16_t*>(mean_feats);
+    for (int v = 0; v < n_voxels; ++v) {
+      const float* s = sum.data() + static_cast<int64_t>(v) * n_feat;
+      int c = num_points_per_voxel[v];
+      const float inv = 1.0f / static_cast<float>(c > 0 ? c : 1);
+      if (emit_bf16) {
+        uint16_t* o = outb + static_cast<int64_t>(v) * n_feat;
+        for (int f = 0; f < n_feat; ++f) o[f] = f32_to_bf16(s[f] * inv);
+      } else {
+        float* o = outf + static_cast<int64_t>(v) * n_feat;
+        for (int f = 0; f < n_feat; ++f) o[f] = s[f] * inv;
+      }
+    }
+    return n_voxels;
+  }
+
+  // phase A: keys (parallel over point ranges)
+  std::vector<int64_t> keys(n_points);
+  {
+    auto keyfn = [&](int64_t lo, int64_t hi) {
+      // same divide expression as points_to_voxel — reciprocal-multiply
+      // differs by 1 ulp on cell boundaries and breaks bit-parity
+      for (int64_t p = lo; p < hi; ++p) {
+        const float* pt = points + p * n_feat;
+        int ix = static_cast<int>(std::floor((pt[0] - range_min[0]) / voxel_size[0]));
+        int iy = static_cast<int>(std::floor((pt[1] - range_min[1]) / voxel_size[1]));
+        int iz = static_cast<int>(std::floor((pt[2] - range_min[2]) / voxel_size[2]));
+        keys[p] = (ix < 0 || ix >= nx || iy < 0 || iy >= ny || iz < 0 || iz >= nz)
+                      ? -1
+                      : (static_cast<int64_t>(iz) * ny + iy) * nx + ix;
+      }
+    };
+    if (T == 1) {
+      keyfn(0, n_points);
+    } else {
+      std::vector<std::thread> ts;
+      int64_t chunk = (n_points + T - 1) / T;
+      for (int t = 0; t < T; ++t) {
+        int64_t lo = t * chunk, hi = std::min<int64_t>(n_points, lo + chunk);
+        if (lo < hi) ts.emplace_back(keyfn, lo, hi);
+      }
+      for (auto& th : ts) th.join();
+    }
+  }
+
+  // phase B: per-thread key-space ownership
+  std::vector<std::vector<VoxEntry>> entries(T);
+  std::vector<std::vector<float>> sums(T);
+  auto ownfn = [&](int t) {
+    std::unordered_map<int64_t, int32_t> local;
+    local.reserve(static_cast<size_t>(max_voxels) * 2 / T + 16);
+    auto& ent = entries[t];
+    auto& sum = sums[t];
+    for (int64_t p = 0; p < n_points; ++p) {
+      int64_t key = keys[p];
+      if (key < 0) continue;
+      // cheap multiplicative hash for ownership (plain modulo stripes x)
+      uint64_t h = static_cast<uint64_t>(key) * 0x9E3779B97F4A7C15ull;
+      if (static_cast<int>((h >> 32) % static_cast<uint64_t>(T)) != t) continue;
+      auto it = local.find(key);
+      int32_t v;
+      if (it == local.end()) {
+        v = static_cast<int32_t>(ent.size());
+        local.emplace(key, v);
+        ent.push_back({key, p, 0, static_cast<int32_t>(sum.size())});
+        sum.resize(sum.size() + n_feat, 0.0f);
+      } else {
+        v = it->second;
+      }
+      VoxEntry& e = ent[v];
+      if (e.cnt < max_points) {
+        float* s = sum.data() + e.sum_off;
+        const float* pt = points + p * n_feat;
+        for (int f = 0; f < n_feat; ++f) s[f] += pt[f];
+        e.cnt++;
+      }
+    }
+  };
+  if (T == 1) {
+    ownfn(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < T; ++t) ts.emplace_back(ownfn, t);
+    for (auto& th : ts) th.join();
+  }
+
+  // phase C: p0-ordered T-way merge (each list is ascending in p0)
+  std::vector<size_t> cur(T, 0);
+  int n_voxels = 0;
+  float* outf = static_cast<float*>(mean_feats);
+  uint16_t* outb = static_cast<uint16_t*>(mean_feats);
+  while (n_voxels < max_voxels) {
+    int best_t = -1;
+    int64_t best_p0 = INT64_MAX;
+    for (int t = 0; t < T; ++t) {
+      if (cur[t] < entries[t].size() && entries[t][cur[t]].p0 < best_p0) {
+        best_p0 = entries[t][cur[t]].p0;
+        best_t = t;
+      }
+    }
+    if (best_t < 0) break;
+    const VoxEntry& e = entries[best_t][cur[best_t]++];
+    int64_t key = e.key;
+    coords[n_voxels * 3 + 0] = static_cast<int32_t>(key / (static_cast<int64_t>(ny) * nx));
+    coords[n_voxels * 3 + 1] = static_cast<int32_t>((key / nx) % ny);
+    coords[n_voxels * 3 + 2] = static_cast<int32_t>(key % nx);
+    num_points_per_voxel[n_voxels] = e.cnt;
+    const float* s = sums[best_t].data() + e.sum_off;
+    const float inv = 1.0f / static_cast<float>(e.cnt > 0 ? e.cnt : 1);
+    if (emit_bf16) {
+      uint16_t* o = outb + static_cast<int64_t>(n_voxels) * n_feat;
+      for (int f = 0; f < n_feat; ++f) o[f] = f32_to_bf16(s[f] * inv);
+    } else {
+      float* o = outf + static_cast<int64_t>(n_voxels) * n_feat;
+      for (int f = 0; f < n_feat; ++f) o[f] = s[f] * inv;
+    }
+    ++n_voxels;
   }
   return n_voxels;
 }

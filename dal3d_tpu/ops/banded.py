@@ -85,8 +85,12 @@ class BandPlan:
              clamped to [0, Mb-band].
     fb_idx:  [B, Q, K] int32 — table rows of out-of-band entries (Mb = pad).
     fb_rows: [B, Q, K] int32 — output rows of those entries (M = pad).
-    oob_count: [B] int32 — total out-of-band entries (incl. beyond K cap:
-             if > Q*K the correction is truncated — observable, loggable).
+    oob_count: [B] int32 — total out-of-band entries.
+    fb_covered: [B] int32 — out-of-band entries the fallback lists actually
+             hold; oob_count > fb_covered means the correction is truncated
+             (rare: the chunked compaction covers the first NCH=2*K//G
+             128-row chunks containing oob entries per tap, capacity K each)
+             — observable, loggable.
     """
 
     idx_k: jnp.ndarray
@@ -94,19 +98,29 @@ class BandPlan:
     fb_idx: jnp.ndarray
     fb_rows: jnp.ndarray
     oob_count: jnp.ndarray
+    fb_covered: jnp.ndarray
     band: int = struct.field(pytree_node=False)
     bm: int = struct.field(pytree_node=False)
     symmetric: bool = struct.field(pytree_node=False, default=False)
+    # tap whose idx is the identity (subm center / pad self): the kernel
+    # reads the block's own rows straight from the slab instead of building
+    # an onehot matmul — saves band*R MACs/row on that tap. None = generic.
+    self_tap: int | None = struct.field(pytree_node=False, default=None)
 
 
 def make_band_plan(idx: jnp.ndarray, hit: jnp.ndarray, Mb: int, band: int,
                    bm: int = 128, fb_cap: int = 256,
-                   symmetric: bool = False) -> BandPlan:
+                   symmetric: bool = False,
+                   self_tap: int | None = None) -> BandPlan:
     """Build a BandPlan from a rulebook (idx [B, Q, M], hit same).
 
     symmetric=True additionally marks (q, m) out-of-band whenever its dual
     entry (rev(q), idx[q, m]) is — required for the reversed-tap backward of
-    submanifold convs (M must equal Mb).
+    submanifold convs (M must equal Mb). Pass it only for plans that will be
+    differentiated: the dual lookup is a full-rulebook gather (~13 ns/row),
+    one of the two dominant plan costs; predict-path plans skip it (forward
+    exactness never depends on it — the kernel and fallback use the same oob
+    mask either way).
     """
     B, Q, M = idx.shape
     assert M % bm == 0, (M, bm)
@@ -116,6 +130,14 @@ def make_band_plan(idx: jnp.ndarray, hit: jnp.ndarray, Mb: int, band: int,
     bmin = jnp.min(safe, axis=(1, 3))  # [B, nb]
     starts = jnp.where(bmin >= _BIG, 0, bmin)
     starts = jnp.clip(starts, 0, Mb - band) & ~15
+    if self_tap is not None:
+        # the self-tap direct read needs the block's own rows fully inside
+        # the slab: start in [m0 + bm - band, m0]; entries pushed below the
+        # raised floor become out-of-band (handled exactly by the fallback).
+        assert M == Mb and band >= bm, (M, Mb, band, bm)
+        m0 = np.arange(nb, dtype=np.int32) * bm
+        lo = np.minimum((np.maximum(m0 + bm - band, 0) + 15) & ~15, Mb - band)
+        starts = jnp.minimum(jnp.maximum(starts, lo[None, :]), m0[None, :])
     rel = idx.reshape(B, Q, nb, bm) - starts[:, None, :, None]
     oob = (hit.reshape(B, Q, nb, bm) & ((rel < 0) | (rel >= band))).reshape(B, Q, M)
     if symmetric:
@@ -130,22 +152,59 @@ def make_band_plan(idx: jnp.ndarray, hit: jnp.ndarray, Mb: int, band: int,
     idx_k = jnp.where(hit & ~oob, idx, -1).astype(jnp.int32)
     oob_count = oob.sum(axis=(1, 2)).astype(jnp.int32)
 
-    # compact out-of-band entries per tap to [K]
+    # Compact out-of-band entries per tap to [K] WITHOUT a full-rulebook
+    # scatter (B*Q*M updates at ~15 ns each used to cost more than the conv
+    # kernel itself). Two-level chunked compaction: (1) pick the first NCH
+    # 128-row chunks containing oob entries via a tiny nc-sized scatter,
+    # (2) gather those chunks (contiguous slices) and compact within the
+    # NCH*G candidate window. Entries beyond the NCH covered chunks (or the
+    # K cap) are dropped — fb_covered reports exactly how many made it.
+    G = 128
+    assert M % G == 0
+    nc = M // G
+    NCH = min(nc, max(2, 2 * fb_cap // G))
     m_iota = jax.lax.broadcasted_iota(jnp.int32, (B, Q, M), 2)
-    pos = jnp.cumsum(oob.astype(jnp.int32), axis=-1) - 1
-    pos = jnp.where(oob, jnp.minimum(pos, fb_cap), fb_cap)
+    oobc = oob.reshape(B, Q, nc, G)
+    cnt = oobc.sum(-1)  # [B, Q, nc]
+    has = cnt > 0
+    cpos = jnp.cumsum(has.astype(jnp.int32), axis=-1) - 1  # chunk rank
+    tgt = jnp.where(has, jnp.minimum(cpos, NCH), NCH)
+
+    def pick(tgt_q, c_iota):
+        out = jnp.full((NCH + 1,), nc, jnp.int32)
+        return out.at[tgt_q].set(c_iota, mode="drop")[:NCH]
+
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (B, Q, nc), 2)
+    sel = jax.vmap(jax.vmap(pick))(tgt, c_iota)  # [B, Q, NCH] chunk ids (nc = none)
+    cov_q = jnp.minimum(jnp.where(cpos < NCH, cnt, 0).sum(-1), fb_cap)  # [B, Q]
+    covered = cov_q.sum(-1).astype(jnp.int32)
+
+    def gat(arr_q, sel_q, fill):
+        a = jnp.concatenate([arr_q.reshape(nc, G),
+                             jnp.full((1, G), fill, arr_q.dtype)], 0)
+        return a[sel_q].reshape(NCH * G)
+
+    oob_w = jax.vmap(jax.vmap(gat, in_axes=(0, 0, None)), in_axes=(0, 0, None))(
+        oob, sel, False)
+    idx_w = jax.vmap(jax.vmap(gat, in_axes=(0, 0, None)), in_axes=(0, 0, None))(
+        idx.astype(jnp.int32), sel, np.int32(0))
+    m_w = jax.vmap(jax.vmap(gat, in_axes=(0, 0, None)), in_axes=(0, 0, None))(
+        m_iota, sel, np.int32(M))
+
+    pos = jnp.cumsum(oob_w.astype(jnp.int32), axis=-1) - 1
+    pos = jnp.where(oob_w, jnp.minimum(pos, fb_cap), fb_cap)
 
     def compact(pos_q, oob_q, val_q, fill):
         out = jnp.full((fb_cap + 1,), fill, jnp.int32)
         return out.at[pos_q].set(jnp.where(oob_q, val_q, fill), mode="drop")[:fb_cap]
 
     fb_idx = jax.vmap(jax.vmap(compact, in_axes=(0, 0, 0, None)),
-                      in_axes=(0, 0, 0, None))(pos, oob, idx.astype(jnp.int32), Mb)
+                      in_axes=(0, 0, 0, None))(pos, oob_w, idx_w, Mb)
     fb_rows = jax.vmap(jax.vmap(compact, in_axes=(0, 0, 0, None)),
-                       in_axes=(0, 0, 0, None))(pos, oob, m_iota, M)
+                       in_axes=(0, 0, 0, None))(pos, oob_w, m_w, M)
     return BandPlan(idx_k=idx_k, starts=starts.astype(jnp.int32), fb_idx=fb_idx,
-                    fb_rows=fb_rows, oob_count=oob_count, band=band, bm=bm,
-                    symmetric=symmetric)
+                    fb_rows=fb_rows, oob_count=oob_count, fb_covered=covered,
+                    band=band, bm=bm, symmetric=symmetric, self_tap=self_tap)
 
 
 # ---------------------------------------------------------------------------
@@ -153,7 +212,7 @@ def make_band_plan(idx: jnp.ndarray, hit: jnp.ndarray, Mb: int, band: int,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(Q, band, R, Rout, bm, dtype):
+def _fwd_kernel(Q, band, R, Rout, bm, dtype, self_tap=None):
     def kernel(starts_ref, idx_ref, table_ref, w_ref, out_ref, slab, sem):
         b, i = pl.program_id(0), pl.program_id(1)
         nb = pl.num_programs(1)
@@ -181,9 +240,19 @@ def _fwd_kernel(Q, band, R, Rout, bm, dtype):
         col = jax.lax.broadcasted_iota(jnp.int32, (bm, band), 1)
         acc = jnp.zeros((bm, Rout), jnp.float32)
         for q in range(Q):
-            rel = idx_ref[0, q, :] - start
-            oh = (col == rel[:, None]).astype(dtype)
-            g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32).astype(dtype)
+            if q == self_tap:
+                # identity tap: the block's own rows sit at offset m0-start
+                # in the slab (guaranteed by make_band_plan's start floor);
+                # mask ghost/oob rows via the plan's idx_k sign.
+                off = pl.multiple_of(i * bm - start, 16)
+                rows = slab[cur, pl.ds(off, bm)]
+                # minor-dim insert must happen on the 32-bit index vector
+                # (Mosaic restriction), not on a bf16 mask
+                g = jnp.where(idx_ref[0, q, :][:, None] >= 0, rows, 0)
+            else:
+                rel = idx_ref[0, q, :] - start
+                oh = (col == rel[:, None]).astype(dtype)
+                g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32).astype(dtype)
             acc = acc + jnp.dot(g, w_ref[q], preferred_element_type=jnp.float32)
         out_ref[0] = acc.astype(out_ref.dtype)
 
@@ -229,8 +298,8 @@ def _dw_kernel(Q, band, R, Rout, bm, dtype):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("band", "bm"))
-def _banded_fwd_pallas(table, idx_k, starts, wband, band, bm):
+@functools.partial(jax.jit, static_argnames=("band", "bm", "self_tap"))
+def _banded_fwd_pallas(table, idx_k, starts, wband, band, bm, self_tap=None):
     B, Mb, R = table.shape
     _, Q, M = idx_k.shape
     Rout = wband.shape[-1]
@@ -250,7 +319,7 @@ def _banded_fwd_pallas(table, idx_k, starts, wband, band, bm):
         ],
     )
     return pl.pallas_call(
-        _fwd_kernel(Q, band, R, Rout, bm, table.dtype),
+        _fwd_kernel(Q, band, R, Rout, bm, table.dtype, self_tap),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((B, M, Rout), table.dtype),
         interpret=_interpret(),
@@ -311,8 +380,8 @@ def _banded_fwd_xla(table, idx_k, wband):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def banded_conv(table, idx_k, starts, wband, band, bm, symmetric):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def banded_conv(table, idx_k, starts, wband, band, bm, symmetric, self_tap=None):
     """out[b, m] = sum_{q: idx_k[b,q,m] >= 0} table[b, idx_k[b,q,m]] @ wband[q].
 
     table [B, Mb, R] (R multiple of 128), idx_k/starts from make_band_plan,
@@ -321,25 +390,28 @@ def banded_conv(table, idx_k, starts, wband, band, bm, symmetric):
     separately via apply_fallback.
     """
     if use_pallas():
-        return _banded_fwd_pallas(table, idx_k, starts, wband, band, bm)
+        return _banded_fwd_pallas(table, idx_k, starts, wband, band, bm, self_tap)
     return _banded_fwd_xla(table, idx_k, wband)
 
 
-def _banded_conv_fwd(table, idx_k, starts, wband, band, bm, symmetric):
-    out = banded_conv(table, idx_k, starts, wband, band, bm, symmetric)
+def _banded_conv_fwd(table, idx_k, starts, wband, band, bm, symmetric, self_tap):
+    out = banded_conv(table, idx_k, starts, wband, band, bm, symmetric, self_tap)
     return out, (table, idx_k, starts, wband)
 
 
-def _banded_conv_bwd(band, bm, symmetric, res, g):
+def _banded_conv_bwd(band, bm, symmetric, self_tap, res, g):
     table, idx_k, starts, wband = res
     B, Mb, R = table.shape
     Q = wband.shape[0]
     g = g.astype(table.dtype)
     if symmetric:
         # dual gather: same idx/starts, weights reversed + transposed
+        # (centered stencils keep the self tap fixed under reversal)
+        assert self_tap is None or Q - 1 - self_tap == self_tap, (Q, self_tap)
         rev = np.arange(Q)[::-1].copy()
         w_dual = jnp.transpose(wband[rev], (0, 2, 1))
-        dtable = banded_conv(g, idx_k, starts, w_dual, band, bm, symmetric)
+        dtable = banded_conv(g, idx_k, starts, w_dual, band, bm, symmetric,
+                             self_tap)
     else:
         # XLA scatter-add: dtable[r] += g[m] @ w[q]^T over valid entries
         gw = jnp.einsum("bmo,qro->bqmr", g, wband.astype(g.dtype),
@@ -375,23 +447,24 @@ banded_conv.defvjp(_banded_conv_fwd, _banded_conv_bwd)
 def apply_fallback(out, table, wband, plan: BandPlan):
     """Add the out-of-band contributions: out[b, fb_rows] += table[b, fb_idx] @ w[q].
 
-    Differentiable XLA gather+scatter over the (small) fallback lists."""
+    Differentiable XLA gather+scatter over the (small) fallback lists.
+    No full-table copies: padding fill rows (fb_idx = Mb, fb_rows = M) are
+    handled by gather mode="fill" and scatter mode="drop" — concatenating a
+    dump row used to copy the whole 37 MB table AND output per call, which
+    cost more than the conv kernel itself."""
     B, M, Rout = out.shape
-    Mb = table.shape[1]
     Q, K = plan.fb_idx.shape[1], plan.fb_idx.shape[2]
-    tbl = jnp.concatenate([table, jnp.zeros((B, 1, table.shape[-1]), table.dtype)], 1)
     rows = jnp.take_along_axis(
-        tbl, plan.fb_idx.reshape(B, Q * K, 1), axis=1
+        table, plan.fb_idx.reshape(B, Q * K, 1), axis=1,
+        mode="fill", fill_value=0,
     ).reshape(B, Q, K, -1)
     contrib = jnp.einsum("bqkr,qro->bqko", rows, wband.astype(rows.dtype),
                          preferred_element_type=jnp.float32).astype(out.dtype)
 
     def scat(out_b, rows_b, contrib_b):
-        buf = jnp.concatenate([out_b, jnp.zeros((1, Rout), out_b.dtype)], 0)
-        buf = buf.at[rows_b.reshape(Q * K)].add(
+        return out_b.at[rows_b.reshape(Q * K)].add(
             contrib_b.reshape(Q * K, Rout), mode="drop"
         )
-        return buf[:M]
 
     return jax.vmap(scat)(out, plan.fb_rows, contrib)
 
@@ -409,6 +482,6 @@ def banded_gather_matmul(table, wband, plan: BandPlan):
     if Rp != R or Routp != Rout:
         wpad = jnp.pad(wband, ((0, 0), (0, Rp - R), (0, Routp - Rout)))
     out = banded_conv(tpad, plan.idx_k, plan.starts, wpad, plan.band, plan.bm,
-                      plan.symmetric)
+                      plan.symmetric, plan.self_tap)
     out = apply_fallback(out, tpad, wpad, plan)
     return out[..., :Rout]

@@ -324,13 +324,24 @@ def _pad_wband_np(bw: int, C: int, with_valid: bool) -> np.ndarray:
 
 
 def subm_rulebook_banded(bb: BrickBatch, kernel_size, grid: jnp.ndarray | None = None,
-                         band: int = 768, bm: int = 128, fb_cap: int = 256):
-    """Banded-engine subm rulebook: standard rulebook + BandPlans."""
+                         band: int = 768, bm: int = 128, fb_cap: int = 256,
+                         symmetric: bool = True, pad_band: int = 192):
+    """Banded-engine subm rulebook: standard rulebook + BandPlans.
+
+    symmetric=False (predict path) skips the dual-entry symmetrization —
+    exact forward either way; only the reversed-tap d/dtable shortcut needs
+    it, and asymmetric plans fall back to the XLA scatter-add backward.
+
+    pad_band: slab width of the halo-pad plan. Measured on lidar clouds the
+    left/right halo rows sit within |idx-m| <= 3 of their output row (they
+    are spatially adjacent bricks under the y-major compaction), so a narrow
+    slab suffices; wider entries go to the exact fallback."""
     from .banded import make_band_plan
 
     idx, hit, hidx, hhit = subm_rulebook(bb, kernel_size, grid)
     B, Mb = bb.brick_lin.shape
     band = min(band, (Mb // 16) * 16)
+    pad_band = min(pad_band, (Mb // 16) * 16)
     self_idx = jnp.broadcast_to(
         jax.lax.broadcasted_iota(jnp.int32, (1, 1, Mb), 2), (B, 1, Mb)
     )
@@ -338,9 +349,13 @@ def subm_rulebook_banded(bb: BrickBatch, kernel_size, grid: jnp.ndarray | None =
     phit = jnp.concatenate(
         [hhit[:, :1], jnp.ones((B, 1, Mb), bool), hhit[:, 1:2]], axis=1
     )
-    conv_plan = make_band_plan(idx, hit, Mb, band, bm, fb_cap, symmetric=True)
-    pad_plan = make_band_plan(pidx, phit, Mb, band, bm,
-                              max(fb_cap // 2, 64), symmetric=True)
+    kd, kh, _ = _triple(kernel_size)
+    conv_plan = make_band_plan(idx, hit, Mb, band, bm, fb_cap,
+                               symmetric=symmetric,
+                               self_tap=(kd * kh) // 2 if kd % 2 and kh % 2 else None)
+    pad_plan = make_band_plan(pidx, phit, Mb, pad_band, bm,
+                              max(fb_cap // 2, 64), symmetric=symmetric,
+                              self_tap=1)
     return BandedSubmRulebook(conv_plan=conv_plan, pad_plan=pad_plan)
 
 
@@ -576,7 +591,8 @@ def downsample_conv(bb: BrickBatch, weights: jnp.ndarray, kernel_size, stride,
 def downsample_conv_banded(bb: BrickBatch, weights: jnp.ndarray, kernel_size,
                            stride, padding, out_bw: int, out_cap: int,
                            band: int = 1024, bm: int = 128, fb_cap: int = 512,
-                           plan=None, grid: jnp.ndarray | None = None) -> BrickBatch:
+                           plan=None, grid: jnp.ndarray | None = None,
+                           symmetric_pad: bool = True) -> BrickBatch:
     """Strided sparse conv on the banded engine: the combined
     [features | validity] halo-padded table is built by a 3-tap banded
     matmul, then the Q = kd*kh*nwb_h tap gather+conv runs as one banded
@@ -605,9 +621,9 @@ def downsample_conv_banded(bb: BrickBatch, weights: jnp.ndarray, kernel_size,
     phit = jnp.concatenate(
         [hhit[:, :1], jnp.ones((B, 1, Mb), bool), hhit[:, 1:2]], axis=1
     )
-    pband = min(band, (Mb // 16) * 16)
+    pband = min(192, (Mb // 16) * 16)  # halo rows are adjacent (|idx-m|<=3)
     pad_plan = make_band_plan(pidx, phit, Mb, pband, bm, max(fb_cap // 2, 64),
-                              symmetric=True)
+                              symmetric=symmetric_pad, self_tap=1)
     rows_v = jnp.concatenate([bb.features, bb.vmask.astype(dt)], axis=-1)
     pad_w = jnp.asarray(_pad_wband_np(bw, C, with_valid=True), dt)
     padded = banded_gather_matmul(rows_v, pad_w, pad_plan)  # [B, Mb, R2p]

@@ -302,3 +302,35 @@ def test_pallas_kernel_interpret_matches_xla():
             rows = np.where((ik[b, q] >= 0)[:, None], tn[b][np.maximum(ik[b, q], 0)], 0.0)
             dw_ref[q] += rows.T @ gn[b]
     np.testing.assert_allclose(np.asarray(dw_got), dw_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_kernel_self_tap_matches_xla():
+    """self_tap direct slab read (interpret mode) == XLA path == full ref,
+    including rows the raised start floor pushes into the fallback."""
+    rng = np.random.RandomState(9)
+    B, Q, M, Mb, R, Rout, band = 2, 3, 512, 512, 128, 128, 160
+    idx, hit = _mk_rulebook(rng, B, Q, M, Mb, spread=60)
+    iota = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (B, M))
+    idx = idx.at[:, 1, :].set(iota)       # tap 1 = identity (self)
+    hit = hit.at[:, 1, :].set(True)
+    table = jnp.asarray(rng.randn(B, Mb, R).astype(np.float32))
+    wband = jnp.asarray((rng.randn(Q, R, Rout) * 0.1).astype(np.float32))
+    plan = bd.make_band_plan(idx, hit, Mb, band=band, fb_cap=1024, self_tap=1)
+    assert plan.self_tap == 1
+    # start floor: every block's own rows inside its slab
+    st = np.asarray(plan.starts)
+    m0 = np.arange(M // plan.bm) * plan.bm
+    assert (st >= np.maximum(m0 + plan.bm - band, 0)[None, :] - 0).all()
+    assert (st <= m0[None, :]).all()
+    ref_full = _ref(table, idx, hit, wband)
+    out_full = bd.banded_gather_matmul(table, wband, plan)  # xla kernel + fb
+    np.testing.assert_allclose(np.asarray(out_full), ref_full, rtol=1e-4, atol=1e-4)
+    os.environ["DAL3D_BANDED"] = "interpret"
+    try:
+        got = bd._banded_fwd_pallas(table, plan.idx_k, plan.starts, wband,
+                                    band, plan.bm, self_tap=1)
+    finally:
+        del os.environ["DAL3D_BANDED"]
+    ref_kernel = bd._banded_fwd_xla(table, plan.idx_k, wband)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_kernel),
+                               rtol=1e-4, atol=1e-4)

@@ -65,3 +65,28 @@ def test_native_kcenter_matches_numpy():
     got = host_ops.kcenter_greedy(d, costs, 3.0, init, 7, already, 40)
     ref, _ = kcenter_numpy(d, costs, 3.0, init, 7, already)
     assert got == ref
+
+
+def test_native_mean_voxelizer_matches_sequential():
+    """points_to_voxel_mean (MT + single-pass paths, f32 + bf16) is
+    bit-parity with the sequential voxelizer's first-appearance order,
+    first-K truncation, and max_voxels cap (host_ops.cc points_to_voxel)."""
+    rng = np.random.RandomState(11)
+    pts = rng.uniform(-2, 52, size=(60000, 5)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-4, 4, size=60000).astype(np.float32)
+    vs = [0.2, 0.2, 0.4]
+    pcr = [0, -1, -3, 51.2, 50.0, 1.0]
+    for mp, mv in [(5, 9000), (1, 500), (20, 60000)]:
+        vox, c0, n0 = host_ops.points_to_voxel(pts, vs, pcr, mp, mv)
+        ref_mean = vox.sum(1) / np.maximum(n0, 1)[:, None]
+        for T in (1, 3):  # 1 = single-pass fast path, 3 = 3-phase merge path
+            mean, c1, n1 = host_ops.points_to_voxel_mean(
+                pts, vs, pcr, mp, mv, n_threads=T)
+            np.testing.assert_array_equal(c0, c1)
+            np.testing.assert_array_equal(n0, n1)
+            np.testing.assert_allclose(ref_mean, mean, rtol=1e-6, atol=1e-6)
+            mb, cb, nb = host_ops.points_to_voxel_mean(
+                pts, vs, pcr, mp, mv, n_threads=T, bf16=True)
+            np.testing.assert_array_equal(c0, cb)
+            np.testing.assert_allclose(
+                np.asarray(mb, np.float32), mean, rtol=8e-3, atol=8e-3)
