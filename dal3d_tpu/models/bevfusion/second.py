@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -65,3 +66,34 @@ class ConvFuser(nn.Module):
         x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
                     kernel_init=kaiming_conv_init())(x)
         return nn.relu(BatchNorm2d()(x, train))
+
+
+class AddFuser(nn.Module):
+    """Per-modality 3x3 conv+BN+ReLU, then weighted sum (reference
+    fusers/add.py). ``dropout`` zeroes one random modality per train step
+    with that probability (branch dropout regularizer); the weighted mean is
+    renormalized over the surviving modalities as in the reference."""
+
+    out_channels: int = 256
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        outs = []
+        for f in feats:
+            x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
+                        kernel_init=kaiming_conv_init())(f)
+            outs.append(nn.relu(BatchNorm2d()(x, train)))
+        n = len(outs)
+        weights = jnp.ones((n,), jnp.float32)
+        if train and self.dropout > 0 and n > 1:
+            rng = self.make_rng("dropout")
+            r_drop, r_pick = jax.random.split(rng)
+            do = jax.random.uniform(r_drop) < self.dropout
+            victim = jax.random.randint(r_pick, (), 0, n)
+            weights = jnp.where(
+                do & (jnp.arange(n) == victim), 0.0, 1.0
+            )
+        stacked = jnp.stack(outs, axis=0)
+        w = weights.reshape((n,) + (1,) * (stacked.ndim - 1))
+        return (stacked * w).sum(0) / weights.sum()

@@ -45,6 +45,26 @@ def test_bev_pool_batched_channel_collapse():
     assert out.shape == (B, n, n, 2 * C)
 
 
+def test_add_fuser():
+    from dal3d_tpu.models.bevfusion import AddFuser
+
+    rng = np.random.RandomState(0)
+    cam = jnp.asarray(rng.randn(1, 8, 8, 16).astype(np.float32))
+    lid = jnp.asarray(rng.randn(1, 8, 8, 24).astype(np.float32))
+    m = AddFuser(out_channels=32, dropout=0.5)
+    var = m.init(jax.random.PRNGKey(0), [cam, lid], False)
+    out = m.apply(var, [cam, lid], False)
+    assert out.shape == (1, 8, 8, 32)
+    # eval path = plain mean of the two transformed branches
+    # train path with dropout: some draws drop one branch, renormalized
+    outs = [
+        m.apply(var, [cam, lid], True,
+                rngs={"dropout": jax.random.PRNGKey(s)}, mutable=["batch_stats"])[0]
+        for s in range(8)
+    ]
+    assert any(not np.allclose(o, outs[0]) for o in outs[1:])
+
+
 @pytest.mark.slow
 def test_swin_tiny_shapes():
     model = SwinTransformer(embed_dim=24, depths=(1, 1, 2), num_heads=(2, 4, 8),
