@@ -167,42 +167,44 @@ def _compact_cells(cells: jnp.ndarray, nbc: int, cap: int) -> jnp.ndarray:
     )[:cap]
 
 
+def _rank_grid(occ: jnp.ndarray, H: int, WbD: int):
+    """y-major rank per cell from a [H*WbD] 0/1 occupancy grid (row-parallel
+    cumsum; the 1.6M-element 1-D device sort alternative costs ~30 s,
+    ROADMAP.md)."""
+    cum = jnp.cumsum(occ.reshape(H, WbD), axis=-1)
+    base = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(cum[:, -1])[:-1].astype(jnp.int32)])
+    return (base[:, None] + cum - 1).reshape(H * WbD)
+
+
 def _compact_cells_spatial(cells: jnp.ndarray, nbc: int, cap: int,
                            shape_bricks: Tuple[int, int, int]) -> jnp.ndarray:
     """Dedup + compact a cell list [N] to [cap] in y-major spatial order.
 
     Output rows sorted by (y, x_brick, z): every (dz, dy, dx) brick neighbor
     then lies within ~(3 x bricks-per-y-row) rows — the bounded-displacement
-    property the banded gather kernel (ops.banded) is built on. No device
-    sort: rank = segmented cumsum over the brick-occupancy grid reshaped
-    [H, Wb*D] (row-parallel cumsum; the 1.6M-element 1-D sort alternative
-    costs ~30 s on this runtime, ROADMAP.md).
+    property the banded gather kernel (ops.banded) is built on.
+
+    Three list passes only (the scalar-index accesses are what this op is
+    bound by, ~7-15 ns each on this TPU): occupancy scatter, rank gather,
+    slot scatter. Duplicate cells write identical values at every step, so
+    no last-writer-wins dedup pass is needed.
 
     Capacity overflow drops the HIGHEST-(y,x,z) bricks (far +y edge),
     deterministically. Overflow is observable via brick_stats()."""
     D, H, Wb = shape_bricks
-    N = cells.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
-    grid = jnp.full((nbc + 1,), -1, jnp.int32).at[jnp.minimum(cells, nbc)].set(
-        iota, mode="drop"
-    )
-    win = (grid[jnp.minimum(cells, nbc)] == iota) & (cells < nbc)
+    valid = cells < nbc
     # z-major cell -> y-major key
     z = cells // (H * Wb)
     rem = cells % (H * Wb)
     y, wb = rem // Wb, rem % Wb
-    ykey = jnp.where(win, (y * Wb + wb) * D + z, nbc).astype(jnp.int32)
-    occ = jnp.zeros((nbc + 1,), jnp.int32).at[ykey].set(
-        jnp.where(win, 1, 0), mode="drop"
-    )[:nbc]
-    cum = jnp.cumsum(occ.reshape(H, Wb * D), axis=-1)  # row-parallel
-    base = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                            jnp.cumsum(cum[:, -1])[:-1].astype(jnp.int32)])
-    pos_grid = (base[:, None] + cum - 1).reshape(nbc)
+    ykey = jnp.where(valid, (y * Wb + wb) * D + z, nbc).astype(jnp.int32)
+    occ = jnp.zeros((nbc + 1,), jnp.int32).at[ykey].set(1, mode="drop")[:nbc]
+    pos_grid = _rank_grid(occ, H, Wb * D)
     pos = pos_grid[jnp.minimum(ykey, nbc - 1)]
-    tgt = jnp.where(win, jnp.minimum(pos, cap), cap)
+    tgt = jnp.where(valid, jnp.minimum(pos, cap), cap)
     return jnp.full((cap + 1,), nbc, jnp.int32).at[tgt].set(
-        jnp.where(win, cells, nbc).astype(jnp.int32), mode="drop"
+        jnp.where(valid, cells, nbc).astype(jnp.int32), mode="drop"
     )[:cap]
 
 
@@ -433,54 +435,95 @@ def downsample_plan(bb: BrickBatch, kernel_size, stride, padding, out_bw: int,
     Wbo = Wo // out_bw
     nbc_out = Do * Ho * Wbo
 
-    # --- output active bricks: candidate generation + list compaction ------
+    # --- output active bricks ---------------------------------------------
     # out brick (zo,yo,wbo) reads input bricks (sd*zo-pd+dz, sh*yo-ph+dy,
-    # A*wbo+b0+j); inverting, each input brick feeds at most ceil(k/s)
-    # outputs per dim — enumerate those candidates and dedup-compact.
-    # The w window is EXTENDED by one output voxel each side (b0e/nwbe): an
-    # output brick must also materialize when its halo voxel (the edge voxel
-    # of the w-neighbor output brick) is active, for downstream halo-padded
-    # gathers (same dilation rule as from_voxels, expressed on the input set).
+    # A*wbo+b0+j). The w window is EXTENDED by one output voxel each side
+    # (b0e/nwbe): an output brick must also materialize when its halo voxel
+    # (the edge voxel of the w-neighbor output brick) is active, for
+    # downstream halo-padded gathers (same dilation rule as from_voxels,
+    # expressed on the input set).
     w_start_e, w_end_e = -sw - pw, sw * out_bw - pw + kw - 1
     b0e = w_start_e // bw
     nwbe = (w_end_e // bw) - b0e + 1
-    nz_c = -(-kd // sd)
-    ny_c = -(-kh // sh)
-    nw_c = -(-nwbe // A)
-    cand_offs = np.stack(
-        np.meshgrid(np.arange(nz_c), np.arange(ny_c), np.arange(nw_c), indexing="ij"),
-        -1,
-    ).reshape(-1, 3)
-    cand_j = jnp.asarray(cand_offs)
     nbc_in = bb.num_cells
-
-    def out_actives(lin):
-        zi, yi, wi = _decode(lin, H, Wb)
-        zo = (zi + pd) // sd - cand_j[:, 0:1]
-        yo = (yi + ph) // sh - cand_j[:, 1:2]
-        wo = jnp.floor_divide(wi - b0e, A) - cand_j[:, 2:3]
-        okz = (zo >= 0) & (zo < Do) & (sd * zo - pd <= zi[None, :]) & (
-            zi[None, :] <= sd * zo - pd + kd - 1
-        )
-        oky = (yo >= 0) & (yo < Ho) & (sh * yo - ph <= yi[None, :]) & (
-            yi[None, :] <= sh * yo - ph + kh - 1
-        )
-        okw = (wo >= 0) & (wo < Wbo) & (A * wo + b0e <= wi[None, :]) & (
-            wi[None, :] <= A * wo + b0e + nwbe - 1
-        )
-        ok = okz & oky & okw & (lin < nbc_in)[None, :]
-        cells = jnp.where(ok, (zo * Ho + yo) * Wbo + wo, nbc_out)
-        if spatial:
-            return _compact_cells_spatial(
-                cells.reshape(-1), nbc_out, out_cap, (Do, Ho, Wbo)
-            )
-        return _compact_cells(cells.reshape(-1), nbc_out, out_cap)
-
-    out_lin = jax.vmap(out_actives)(bb.brick_lin)
-
-    # --- rulebook (halo-padded input bricks) -------------------------------
     if grid is None:
         grid = build_brick_grid(bb)
+
+    if spatial:
+        # Dense stencil: output occupancy = OR over the kd*kh*nwbe window
+        # reads of the input occupancy grid — strided slices of a padded
+        # grid, no candidate lists at all. Ranks come from the y-major
+        # row-parallel cumsum; the only scalar-index pass left is the
+        # nbc_out-sized slot scatter (the 8-candidates-per-input list this
+        # replaces cost 5 passes x 8*Mb accesses).
+        pz0 = max(0, pd)
+        pz1 = max(0, sd * (Do - 1) - pd + kd - 1 - (D - 1))
+        py0 = max(0, ph)
+        py1 = max(0, sh * (Ho - 1) - ph + kh - 1 - (H - 1))
+        pw0 = max(0, -b0e)
+        pw1 = max(0, A * (Wbo - 1) + b0e + nwbe - 1 - (Wb - 1))
+
+        def out_actives_dense(g):
+            occ = (g[:nbc_in] >= 0).reshape(D, H, Wb)
+            occ = jnp.pad(occ, ((pz0, pz1), (py0, py1), (pw0, pw1)))
+            acc = None
+            for dz in range(kd):
+                for dy in range(kh):
+                    for dwb in range(nwbe):
+                        s = jax.lax.slice(
+                            occ,
+                            (pz0 - pd + dz, py0 - ph + dy, pw0 + b0e + dwb),
+                            (pz0 - pd + dz + sd * (Do - 1) + 1,
+                             py0 - ph + dy + sh * (Ho - 1) + 1,
+                             pw0 + b0e + dwb + A * (Wbo - 1) + 1),
+                            (sd, sh, A),
+                        )
+                        acc = s if acc is None else (acc | s)
+            occ_y = acc.transpose(1, 2, 0).reshape(-1)  # ykey order
+            pos = _rank_grid(occ_y.astype(jnp.int32), Ho, Wbo * Do)
+            tgt = jnp.where(occ_y, jnp.minimum(pos, out_cap), out_cap)
+            ky = jax.lax.broadcasted_iota(jnp.int32, (nbc_out,), 0)
+            oky = jnp.full((out_cap + 1,), -1, jnp.int32).at[tgt].set(
+                ky, mode="drop")[:out_cap]
+            zz, rr = oky % Do, oky // Do
+            return jnp.where(
+                oky >= 0, (zz * Ho + rr // Wbo) * Wbo + rr % Wbo, nbc_out
+            ).astype(jnp.int32)
+
+        out_lin = jax.vmap(out_actives_dense)(grid)
+    else:
+        # first-appearance order: invert the window per input brick — each
+        # feeds at most ceil(k/s) outputs per dim — and dedup-compact.
+        nz_c = -(-kd // sd)
+        ny_c = -(-kh // sh)
+        nw_c = -(-nwbe // A)
+        cand_offs = np.stack(
+            np.meshgrid(np.arange(nz_c), np.arange(ny_c), np.arange(nw_c),
+                        indexing="ij"), -1,
+        ).reshape(-1, 3)
+        cand_j = jnp.asarray(cand_offs)
+
+        def out_actives(lin):
+            zi, yi, wi = _decode(lin, H, Wb)
+            zo = (zi + pd) // sd - cand_j[:, 0:1]
+            yo = (yi + ph) // sh - cand_j[:, 1:2]
+            wo = jnp.floor_divide(wi - b0e, A) - cand_j[:, 2:3]
+            okz = (zo >= 0) & (zo < Do) & (sd * zo - pd <= zi[None, :]) & (
+                zi[None, :] <= sd * zo - pd + kd - 1
+            )
+            oky = (yo >= 0) & (yo < Ho) & (sh * yo - ph <= yi[None, :]) & (
+                yi[None, :] <= sh * yo - ph + kh - 1
+            )
+            okw = (wo >= 0) & (wo < Wbo) & (A * wo + b0e <= wi[None, :]) & (
+                wi[None, :] <= A * wo + b0e + nwbe - 1
+            )
+            ok = okz & oky & okw & (lin < nbc_in)[None, :]
+            cells = jnp.where(ok, (zo * Ho + yo) * Wbo + wo, nbc_out)
+            return _compact_cells(cells.reshape(-1), nbc_out, out_cap)
+
+        out_lin = jax.vmap(out_actives)(bb.brick_lin)
+
+    # --- rulebook (halo-padded input bricks) -------------------------------
     taps = np.stack(
         np.meshgrid(np.arange(kd), np.arange(kh), np.arange(nwb_h), indexing="ij"), -1
     ).reshape(-1, 3)
@@ -684,10 +727,20 @@ def from_voxels(features: jnp.ndarray, coords_zyx: jnp.ndarray, valid: jnp.ndarr
     wpos = (x % bw).astype(jnp.int32)
     # halo dilation: a brick whose halo column holds an active voxel must be
     # materialized (vmask-empty) so the halo-padded gathers can read it —
-    # exactly the bricks adjacent to voxels sitting on a brick edge
-    dil_l = jnp.where(valid & (wpos == 0) & (x // bw > 0), cell - 1, nbc)
-    dil_r = jnp.where(valid & (wpos == bw - 1) & (x // bw < Wb - 1), cell + 1, nbc)
-    cand = jnp.concatenate([cell, dil_l.astype(jnp.int32), dil_r.astype(jnp.int32)], -1)
+    # exactly the bricks adjacent to voxels sitting on a brick edge. A voxel
+    # sits on at most ONE edge (bw >= 2), so a single merged dilation column
+    # suffices — candidate-list passes are the pack cost.
+    if bw >= 2:
+        dil = jnp.where(
+            valid & (wpos == 0) & (x // bw > 0), cell - 1,
+            jnp.where(valid & (wpos == bw - 1) & (x // bw < Wb - 1), cell + 1, nbc),
+        )
+        cand = jnp.concatenate([cell, dil.astype(jnp.int32)], -1)
+    else:  # bw == 1: a voxel is both edges at once
+        dil_l = jnp.where(valid & (x // bw > 0), cell - 1, nbc)
+        dil_r = jnp.where(valid & (x // bw < Wb - 1), cell + 1, nbc)
+        cand = jnp.concatenate(
+            [cell, dil_l.astype(jnp.int32), dil_r.astype(jnp.int32)], -1)
 
     def per_batch(cand, cell, wpos, feat, vld):
         if spatial:
