@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -269,11 +270,17 @@ class FPNSpMiddleResNetFHD(nn.Module):
             bands = [int(b) for b in self.band_widths]
             dbands = [int(b) for b in self.down_bands]
             fbc = self.band_fb_cap
-            L0 = nn.remat(_BrickL0, static_argnums=(2,))
+            # save the "sparse_plan"-named rulebook/plan tensors across the
+            # remat boundary (int32/bool, small) so the backward pass reuses
+            # them instead of re-running grid builds + compactions
+            plan_policy = jax.checkpoint_policies.save_only_these_names(
+                "sparse_plan")
+            L0 = nn.remat(_BrickL0, static_argnums=(2,), policy=plan_policy)
             x = L0(ws[1], caps[1], dtype=self.dtype, name="l0", banded=banded,
                    band=bands[0], down_band=dbands[0], fb_cap=fbc)(bb, train)
             middle = [x]
-            Stage = nn.remat(_BrickStage, static_argnums=(2,))
+            Stage = nn.remat(_BrickStage, static_argnums=(2,),
+                             policy=plan_policy)
             x = Stage(32, 64, 2, (3, 3, 3), (2, 2, 2), (1, 1, 1), ws[2], caps[2],
                       dtype=self.dtype, name="stage1", banded=banded,
                       band=bands[1], down_band=dbands[1], fb_cap=fbc)(x, train)

@@ -40,6 +40,7 @@ import functools
 from typing import Tuple
 
 import jax
+from jax import ad_checkpoint
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -81,8 +82,13 @@ class BandPlan:
 
     idx_k:   [B, Q, M] int32 — table row per (tap, out-row); -1 = no
              contribution from the kernel (miss OR out-of-band).
-    starts:  [B, nb] int32 — 16-aligned slab start row per 128-row block,
-             clamped to [0, Mb-band].
+    starts:  [B, G, nb] int32 — 16-aligned slab start row per (tap group,
+             128-row block), clamped to [0, Mb-band_g]. Taps are statically
+             partitioned into ``groups``: taps of one group cluster around a
+             common rank offset (e.g. all dz taps of one dy row of a subm
+             stencil), so each group's slab can be far narrower than one
+             slab covering every tap — the onehot matmul cost scales with
+             sum_q band_{g(q)}.
     fb_idx:  [B, Q, K] int32 — table rows of out-of-band entries (Mb = pad).
     fb_rows: [B, Q, K] int32 — output rows of those entries (M = pad).
     oob_count: [B] int32 — total out-of-band entries.
@@ -99,7 +105,8 @@ class BandPlan:
     fb_rows: jnp.ndarray
     oob_count: jnp.ndarray
     fb_covered: jnp.ndarray
-    band: int = struct.field(pytree_node=False)
+    groups: Tuple[Tuple[int, ...], ...] = struct.field(pytree_node=False)
+    bands: Tuple[int, ...] = struct.field(pytree_node=False)
     bm: int = struct.field(pytree_node=False)
     symmetric: bool = struct.field(pytree_node=False, default=False)
     # tap whose idx is the identity (subm center / pad self): the kernel
@@ -107,39 +114,75 @@ class BandPlan:
     # an onehot matmul — saves band*R MACs/row on that tap. None = generic.
     self_tap: int | None = struct.field(pytree_node=False, default=None)
 
+    @property
+    def band(self) -> int:  # legacy single-group accessor
+        assert len(self.bands) == 1
+        return self.bands[0]
 
-def make_band_plan(idx: jnp.ndarray, hit: jnp.ndarray, Mb: int, band: int,
-                   bm: int = 128, fb_cap: int = 256,
+
+def _group_maps(groups, bands, Q):
+    """(g_of_q [Q], band_of_q [Q], slab offsets [G], sum_bands)."""
+    g_of_q = np.full((Q,), -1, np.int64)
+    for g, taps in enumerate(groups):
+        for q in taps:
+            g_of_q[q] = g
+    assert (g_of_q >= 0).all(), f"groups {groups} do not cover all {Q} taps"
+    band_of_q = np.asarray([bands[g] for g in g_of_q])
+    offs = np.concatenate([[0], np.cumsum(np.asarray(bands))])
+    return g_of_q, band_of_q, offs[:-1], int(offs[-1])
+
+
+def make_band_plan(idx: jnp.ndarray, hit: jnp.ndarray, Mb: int,
+                   band: int | None = None, bm: int = 128, fb_cap: int = 256,
                    symmetric: bool = False,
-                   self_tap: int | None = None) -> BandPlan:
+                   self_tap: int | None = None,
+                   groups: Tuple[Tuple[int, ...], ...] | None = None,
+                   group_bands: Tuple[int, ...] | None = None) -> BandPlan:
     """Build a BandPlan from a rulebook (idx [B, Q, M], hit same).
 
-    symmetric=True additionally marks (q, m) out-of-band whenever its dual
-    entry (rev(q), idx[q, m]) is — required for the reversed-tap backward of
-    submanifold convs (M must equal Mb). Pass it only for plans that will be
-    differentiated: the dual lookup is a full-rulebook gather (~13 ns/row),
-    one of the two dominant plan costs; predict-path plans skip it (forward
-    exactness never depends on it — the kernel and fallback use the same oob
-    mask either way).
+    groups/group_bands partition the Q taps into statically-known clusters,
+    each with its own slab start and width; ``band`` alone is the
+    single-group legacy form. symmetric=True additionally marks (q, m)
+    out-of-band whenever its dual entry (rev(q), idx[q, m]) is — required
+    for the reversed-tap backward of submanifold convs (M must equal Mb).
+    Pass it only for plans that will be differentiated: the dual lookup is a
+    full-rulebook gather (~13 ns/row), one of the two dominant plan costs;
+    predict-path plans skip it (forward exactness never depends on it — the
+    kernel and fallback use the same oob mask either way).
     """
     B, Q, M = idx.shape
     assert M % bm == 0, (M, bm)
-    assert band % 16 == 0 and Mb >= band, (band, Mb)
+    if groups is None:
+        assert band is not None
+        groups = (tuple(range(Q)),)
+        group_bands = (band,)
+    groups = tuple(tuple(t) for t in groups)
+    group_bands = tuple(int(b) for b in group_bands)
+    for bg in group_bands:
+        assert bg % 16 == 0 and Mb >= bg, (bg, Mb)
+    g_of_q, band_of_q, _, _ = _group_maps(groups, group_bands, Q)
     nb = M // bm
     safe = jnp.where(hit, idx, _BIG).reshape(B, Q, nb, bm)
-    bmin = jnp.min(safe, axis=(1, 3))  # [B, nb]
-    starts = jnp.where(bmin >= _BIG, 0, bmin)
-    starts = jnp.clip(starts, 0, Mb - band) & ~15
-    if self_tap is not None:
-        # the self-tap direct read needs the block's own rows fully inside
-        # the slab: start in [m0 + bm - band, m0]; entries pushed below the
-        # raised floor become out-of-band (handled exactly by the fallback).
-        assert M == Mb and band >= bm, (M, Mb, band, bm)
-        m0 = np.arange(nb, dtype=np.int32) * bm
-        lo = np.minimum((np.maximum(m0 + bm - band, 0) + 15) & ~15, Mb - band)
-        starts = jnp.minimum(jnp.maximum(starts, lo[None, :]), m0[None, :])
-    rel = idx.reshape(B, Q, nb, bm) - starts[:, None, :, None]
-    oob = (hit.reshape(B, Q, nb, bm) & ((rel < 0) | (rel >= band))).reshape(B, Q, M)
+    starts_g = []
+    for g, (taps, bg) in enumerate(zip(groups, group_bands)):
+        bmin = jnp.min(safe[:, list(taps)], axis=(1, 3))  # [B, nb]
+        st = jnp.where(bmin >= _BIG, 0, bmin)
+        st = jnp.clip(st, 0, Mb - bg) & ~15
+        if self_tap is not None and self_tap in taps:
+            # the self-tap direct read needs the block's own rows fully
+            # inside its group's slab: start in [m0 + bm - band, m0];
+            # entries pushed below the raised floor become out-of-band
+            # (handled exactly by the fallback).
+            assert M == Mb and bg >= bm, (M, Mb, bg, bm)
+            m0 = np.arange(nb, dtype=np.int32) * bm
+            lo = np.minimum((np.maximum(m0 + bm - bg, 0) + 15) & ~15, Mb - bg)
+            st = jnp.minimum(jnp.maximum(st, lo[None, :]), m0[None, :])
+        starts_g.append(st)
+    starts = jnp.stack(starts_g, axis=1).astype(jnp.int32)  # [B, G, nb]
+    starts_q = starts[:, g_of_q]  # [B, Q, nb] (static tap->group take)
+    rel = idx.reshape(B, Q, nb, bm) - starts_q[..., None]
+    band_q = jnp.asarray(band_of_q, jnp.int32)[None, :, None, None]
+    oob = (hit.reshape(B, Q, nb, bm) & ((rel < 0) | (rel >= band_q))).reshape(B, Q, M)
     if symmetric:
         assert M == Mb, "symmetric band plans require M == Mb (subm rulebooks)"
         # dual of (q, m): (rev(q), r=idx[q, m]); symmetrize so both the
@@ -202,9 +245,17 @@ def make_band_plan(idx: jnp.ndarray, hit: jnp.ndarray, Mb: int, band: int,
                       in_axes=(0, 0, 0, None))(pos, oob_w, idx_w, Mb)
     fb_rows = jax.vmap(jax.vmap(compact, in_axes=(0, 0, 0, None)),
                        in_axes=(0, 0, 0, None))(pos, oob_w, m_w, M)
-    return BandPlan(idx_k=idx_k, starts=starts.astype(jnp.int32), fb_idx=fb_idx,
+    plan = BandPlan(idx_k=idx_k, starts=starts, fb_idx=fb_idx,
                     fb_rows=fb_rows, oob_count=oob_count, fb_covered=covered,
-                    band=band, bm=bm, symmetric=symmetric, self_tap=self_tap)
+                    groups=groups, bands=group_bands, bm=bm,
+                    symmetric=symmetric, self_tap=self_tap)
+    # Tag the plan tensors so remat'd blocks can SAVE them instead of
+    # rebuilding rulebooks/compactions/dual-gathers in the backward pass
+    # (policy save_only_these_names("sparse_plan") in models/backbones/scn.py;
+    # everything upstream — grids, neighbor lookups — then DCEs out of the
+    # recompute graph). A no-op outside jax.checkpoint.
+    return jax.tree_util.tree_map(
+        lambda x: ad_checkpoint.checkpoint_name(x, "sparse_plan"), plan)
 
 
 # ---------------------------------------------------------------------------
@@ -212,48 +263,60 @@ def make_band_plan(idx: jnp.ndarray, hit: jnp.ndarray, Mb: int, band: int,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(Q, band, R, Rout, bm, dtype, self_tap=None):
+def _fwd_kernel(Q, groups, bands, R, Rout, bm, dtype, self_tap=None):
+    g_of_q, band_of_q, offs, _ = _group_maps(groups, bands, Q)
+    G = len(groups)
+
     def kernel(starts_ref, idx_ref, table_ref, w_ref, out_ref, slab, sem):
         b, i = pl.program_id(0), pl.program_id(1)
         nb = pl.num_programs(1)
         cur = i % 2
 
+        def start_dmas(blk, buf):
+            for g in range(G):
+                sg = pl.multiple_of(starts_ref[b, g, blk], 16)
+                pltpu.make_async_copy(
+                    table_ref.at[b, pl.ds(sg, bands[g])],
+                    slab.at[buf, pl.ds(offs[g], bands[g])],
+                    sem.at[buf, g],
+                ).start()
+
         @pl.when(i == 0)
         def _():
-            s0 = pl.multiple_of(starts_ref[b, 0], 16)
-            pltpu.make_async_copy(
-                table_ref.at[b, pl.ds(s0, band)], slab.at[0], sem.at[0]
-            ).start()
+            start_dmas(0, 0)
 
         @pl.when(i + 1 < nb)
         def _():
-            sn = pl.multiple_of(starts_ref[b, i + 1], 16)
-            pltpu.make_async_copy(
-                table_ref.at[b, pl.ds(sn, band)], slab.at[(i + 1) % 2], sem.at[(i + 1) % 2]
-            ).start()
+            start_dmas(i + 1, (i + 1) % 2)
 
-        start = pl.multiple_of(starts_ref[b, i], 16)
-        pltpu.make_async_copy(
-            table_ref.at[b, pl.ds(start, band)], slab.at[cur], sem.at[cur]
-        ).wait()
-        tbl = slab[cur]
-        col = jax.lax.broadcasted_iota(jnp.int32, (bm, band), 1)
+        for g in range(G):
+            sg = pl.multiple_of(starts_ref[b, g, i], 16)
+            pltpu.make_async_copy(
+                table_ref.at[b, pl.ds(sg, bands[g])],
+                slab.at[cur, pl.ds(offs[g], bands[g])],
+                sem.at[cur, g],
+            ).wait()
         acc = jnp.zeros((bm, Rout), jnp.float32)
         for q in range(Q):
+            g = g_of_q[q]
+            band_q = int(band_of_q[q])
+            start = pl.multiple_of(starts_ref[b, g, i], 16)
             if q == self_tap:
                 # identity tap: the block's own rows sit at offset m0-start
-                # in the slab (guaranteed by make_band_plan's start floor);
-                # mask ghost/oob rows via the plan's idx_k sign.
-                off = pl.multiple_of(i * bm - start, 16)
+                # in its group's slab (guaranteed by make_band_plan's start
+                # floor); mask ghost/oob rows via the plan's idx_k sign.
+                off = pl.multiple_of(i * bm - start + offs[g], 16)
                 rows = slab[cur, pl.ds(off, bm)]
                 # minor-dim insert must happen on the 32-bit index vector
                 # (Mosaic restriction), not on a bf16 mask
-                g = jnp.where(idx_ref[0, q, :][:, None] >= 0, rows, 0)
+                gth = jnp.where(idx_ref[0, q, :][:, None] >= 0, rows, 0)
             else:
+                tbl = slab[cur, offs[g]:offs[g] + band_q]
+                col = jax.lax.broadcasted_iota(jnp.int32, (bm, band_q), 1)
                 rel = idx_ref[0, q, :] - start
                 oh = (col == rel[:, None]).astype(dtype)
-                g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32).astype(dtype)
-            acc = acc + jnp.dot(g, w_ref[q], preferred_element_type=jnp.float32)
+                gth = jnp.dot(oh, tbl, preferred_element_type=jnp.float32).astype(dtype)
+            acc = acc + jnp.dot(gth, w_ref[q], preferred_element_type=jnp.float32)
         out_ref[0] = acc.astype(out_ref.dtype)
 
     return kernel
@@ -263,14 +326,16 @@ def _dw_kernel(Q, band, R, Rout, bm, dtype):
     """grid (Q, nb): accumulate dw[q] += (onehot_q @ slab)^T @ g over blocks.
 
     Output block [1, R, Rout] revisited across the inner nb dim (consecutive),
-    slab re-DMA'd per (q, i) — backward-only cost.
+    slab re-DMA'd per (q, i) — backward-only cost. ``band`` is the max group
+    band; per-tap starts come pre-clamped to [0, Mb-band], which keeps every
+    in-band entry of narrower groups inside the widened window.
     """
 
     def kernel(starts_ref, idx_ref, table_ref, g_ref, dw_ref, slab, acc, sem):
         b = 0  # batch folded by caller loop
         q, i = pl.program_id(0), pl.program_id(1)
         nb = pl.num_programs(1)
-        start = pl.multiple_of(starts_ref[b, i], 16)
+        start = pl.multiple_of(starts_ref[b, q, i], 16)
         dma = pltpu.make_async_copy(
             table_ref.at[b, pl.ds(start, band)], slab.at[0], sem.at[0]
         )
@@ -298,12 +363,15 @@ def _dw_kernel(Q, band, R, Rout, bm, dtype):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("band", "bm", "self_tap"))
-def _banded_fwd_pallas(table, idx_k, starts, wband, band, bm, self_tap=None):
+@functools.partial(jax.jit, static_argnames=("groups", "bands", "bm", "self_tap"))
+def _banded_fwd_pallas(table, idx_k, starts, wband, groups, bands, bm,
+                       self_tap=None):
     B, Mb, R = table.shape
     _, Q, M = idx_k.shape
     Rout = wband.shape[-1]
     nb = M // bm
+    G = len(groups)
+    _, _, _, sum_bands = _group_maps(groups, bands, Q)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, nb),
@@ -314,25 +382,28 @@ def _banded_fwd_pallas(table, idx_k, starts, wband, band, bm, self_tap=None):
         ],
         out_specs=pl.BlockSpec((1, bm, Rout), lambda b, i, s: (b, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, band, R), table.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, sum_bands, R), table.dtype),
+            pltpu.SemaphoreType.DMA((2, G)),
         ],
     )
     return pl.pallas_call(
-        _fwd_kernel(Q, band, R, Rout, bm, table.dtype, self_tap),
+        _fwd_kernel(Q, groups, bands, R, Rout, bm, table.dtype, self_tap),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((B, M, Rout), table.dtype),
         interpret=_interpret(),
     )(starts, idx_k, table, wband)
 
 
-@functools.partial(jax.jit, static_argnames=("band", "bm"))
-def _banded_dw_pallas(table, idx_k, starts, g, band, bm):
+@functools.partial(jax.jit, static_argnames=("groups", "bands", "bm"))
+def _banded_dw_pallas(table, idx_k, starts, g, groups, bands, bm):
     """dw[q] = sum_{b,m in-band} table[b, idx_k[b,q,m]]^T @ g[b,m]."""
     B, Mb, R = table.shape
     _, Q, M = idx_k.shape
     Rout = g.shape[-1]
     nb = M // bm
+    g_of_q, _, _, _ = _group_maps(groups, bands, Q)
+    band = max(bands)
+    starts_q = jnp.minimum(starts[:, g_of_q], Mb - band) & ~15  # [B, Q, nb]
 
     def one_batch(table_b, idx_b, starts_b, g_b):
         gs = pltpu.PrefetchScalarGridSpec(
@@ -357,7 +428,7 @@ def _banded_dw_pallas(table, idx_k, starts, g, band, bm):
             interpret=_interpret(),
         )(starts_b[None], idx_b[None], table_b[None], g_b[None])
 
-    dw = jax.vmap(one_batch)(table, idx_k, starts, g)  # [B, Q, R, Rout]
+    dw = jax.vmap(one_batch)(table, idx_k, starts_q, g)  # [B, Q, R, Rout]
     return dw.sum(0)
 
 
@@ -380,8 +451,9 @@ def _banded_fwd_xla(table, idx_k, wband):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def banded_conv(table, idx_k, starts, wband, band, bm, symmetric, self_tap=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def banded_conv(table, idx_k, starts, wband, groups, bands, bm, symmetric,
+                self_tap=None):
     """out[b, m] = sum_{q: idx_k[b,q,m] >= 0} table[b, idx_k[b,q,m]] @ wband[q].
 
     table [B, Mb, R] (R multiple of 128), idx_k/starts from make_band_plan,
@@ -390,28 +462,31 @@ def banded_conv(table, idx_k, starts, wband, band, bm, symmetric, self_tap=None)
     separately via apply_fallback.
     """
     if use_pallas():
-        return _banded_fwd_pallas(table, idx_k, starts, wband, band, bm, self_tap)
+        return _banded_fwd_pallas(table, idx_k, starts, wband, groups, bands,
+                                  bm, self_tap)
     return _banded_fwd_xla(table, idx_k, wband)
 
 
-def _banded_conv_fwd(table, idx_k, starts, wband, band, bm, symmetric, self_tap):
-    out = banded_conv(table, idx_k, starts, wband, band, bm, symmetric, self_tap)
+def _banded_conv_fwd(table, idx_k, starts, wband, groups, bands, bm, symmetric,
+                     self_tap):
+    out = banded_conv(table, idx_k, starts, wband, groups, bands, bm,
+                      symmetric, self_tap)
     return out, (table, idx_k, starts, wband)
 
 
-def _banded_conv_bwd(band, bm, symmetric, self_tap, res, g):
+def _banded_conv_bwd(groups, bands, bm, symmetric, self_tap, res, g):
     table, idx_k, starts, wband = res
     B, Mb, R = table.shape
     Q = wband.shape[0]
     g = g.astype(table.dtype)
     if symmetric:
-        # dual gather: same idx/starts, weights reversed + transposed
+        # dual gather: same idx/starts/groups, weights reversed + transposed
         # (centered stencils keep the self tap fixed under reversal)
         assert self_tap is None or Q - 1 - self_tap == self_tap, (Q, self_tap)
         rev = np.arange(Q)[::-1].copy()
         w_dual = jnp.transpose(wband[rev], (0, 2, 1))
-        dtable = banded_conv(g, idx_k, starts, w_dual, band, bm, symmetric,
-                             self_tap)
+        dtable = banded_conv(g, idx_k, starts, w_dual, groups, bands, bm,
+                             symmetric, self_tap)
     else:
         # XLA scatter-add: dtable[r] += g[m] @ w[q]^T over valid entries
         gw = jnp.einsum("bmo,qro->bqmr", g, wband.astype(g.dtype),
@@ -428,7 +503,7 @@ def _banded_conv_bwd(band, bm, symmetric, self_tap, res, g):
 
         dtable = jax.vmap(scat)(gw, safe).astype(table.dtype)
     if use_pallas():
-        dw = _banded_dw_pallas(table, idx_k, starts, g, band, bm)
+        dw = _banded_dw_pallas(table, idx_k, starts, g, groups, bands, bm)
     else:
         tbl = jnp.concatenate([table, jnp.zeros((B, 1, R), table.dtype)], axis=1)
         M = idx_k.shape[-1]
@@ -481,7 +556,7 @@ def banded_gather_matmul(table, wband, plan: BandPlan):
     wpad = wband
     if Rp != R or Routp != Rout:
         wpad = jnp.pad(wband, ((0, 0), (0, Rp - R), (0, Routp - Rout)))
-    out = banded_conv(tpad, plan.idx_k, plan.starts, wpad, plan.band, plan.bm,
-                      plan.symmetric, plan.self_tap)
+    out = banded_conv(tpad, plan.idx_k, plan.starts, wpad, plan.groups,
+                      plan.bands, plan.bm, plan.symmetric, plan.self_tap)
     out = apply_fallback(out, tpad, wpad, plan)
     return out[..., :Rout]

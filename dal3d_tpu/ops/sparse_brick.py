@@ -45,11 +45,23 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax
+from jax import ad_checkpoint
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
 from .sparse import SparseBatch, _triple
+
+
+def _name_plan(t):
+    """Tag plan/rulebook tensors with the "sparse_plan" checkpoint name so
+    remat'd backbone blocks SAVE them instead of rebuilding rulebooks,
+    compactions, and dual-gathers in the backward pass (policy
+    ``save_only_these_names("sparse_plan")`` in models/backbones/scn.py;
+    everything upstream — grids, neighbor lookups — then DCEs out of the
+    recompute graph). A no-op outside jax.checkpoint."""
+    return jax.tree_util.tree_map(
+        lambda x: ad_checkpoint.checkpoint_name(x, "sparse_plan"), t)
 
 
 @struct.dataclass
@@ -284,7 +296,7 @@ def subm_rulebook(bb: BrickBatch, kernel_size, grid: jnp.ndarray | None = None):
         bb.brick_lin, grid, deltas, (bb.shape[0], bb.shape[1], bb.wb)
     )
     hidx, hhit = halo_indices(bb, grid)
-    return idx, hit, hidx, hhit
+    return _name_plan((idx, hit, hidx, hhit))
 
 
 @struct.dataclass
@@ -327,7 +339,8 @@ def _pad_wband_np(bw: int, C: int, with_valid: bool) -> np.ndarray:
 
 def subm_rulebook_banded(bb: BrickBatch, kernel_size, grid: jnp.ndarray | None = None,
                          band: int = 768, bm: int = 128, fb_cap: int = 256,
-                         symmetric: bool = True, pad_band: int = 192):
+                         symmetric: bool = True, pad_band: int = 192,
+                         mid_band: int = 160):
     """Banded-engine subm rulebook: standard rulebook + BandPlans.
 
     symmetric=False (predict path) skips the dual-entry symmetrization —
@@ -352,9 +365,22 @@ def subm_rulebook_banded(bb: BrickBatch, kernel_size, grid: jnp.ndarray | None =
         [hhit[:, :1], jnp.ones((B, 1, Mb), bool), hhit[:, 1:2]], axis=1
     )
     kd, kh, _ = _triple(kernel_size)
-    conv_plan = make_band_plan(idx, hit, Mb, band, bm, fb_cap,
+    # taps of one dy cluster around a common rank offset (~one y-row pitch
+    # apart between groups) — per-dy slabs are ~3x narrower than one slab
+    # covering all taps, and the onehot MXU cost scales with sum of per-tap
+    # bands. The dy-center group holds the dz=+-1 taps (rank-adjacent under
+    # y-major order) plus the direct-read self tap; mid_band >= bm is
+    # required by the self-tap floor.
+    groups = tuple(tuple(iz * kh + iy for iz in range(kd)) for iy in range(kh))
+    mid = kh // 2 if kh % 2 else None
+    gbands = tuple(
+        min(max(mid_band, bm) if iy == mid else band, (Mb // 16) * 16)
+        for iy in range(kh)
+    )
+    conv_plan = make_band_plan(idx, hit, Mb, bm=bm, fb_cap=fb_cap,
                                symmetric=symmetric,
-                               self_tap=(kd * kh) // 2 if kd % 2 and kh % 2 else None)
+                               self_tap=(kd * kh) // 2 if kd % 2 and kh % 2 else None,
+                               groups=groups, group_bands=gbands)
     pad_plan = make_band_plan(pidx, phit, Mb, pad_band, bm,
                               max(fb_cap // 2, 64), symmetric=symmetric,
                               self_tap=1)
@@ -545,7 +571,9 @@ def downsample_plan(bb: BrickBatch, kernel_size, stride, padding, out_bw: int,
     idx = jax.vmap(per_batch)(out_lin, grid)
     hidx, hhit = halo_indices(bb, grid)
     meta = dict(kd=kd, kh=kh, kw=kw, sw=sw, pw=pw, b0h=b0h, nwb_h=nwb_h)
-    return out_lin, jnp.maximum(idx, 0), idx >= 0, (Do, Ho, Wo), meta, hidx, hhit
+    out_lin, idx_c, hit, hidx, hhit = _name_plan(
+        (out_lin, jnp.maximum(idx, 0), idx >= 0, hidx, hhit))
+    return out_lin, idx_c, hit, (Do, Ho, Wo), meta, hidx, hhit
 
 
 def _down_tap(sw: int, pw: int, dw: int, p: int, b0h: int, nwb_h: int, bw: int):
@@ -671,8 +699,18 @@ def downsample_conv_banded(bb: BrickBatch, weights: jnp.ndarray, kernel_size,
     pad_w = jnp.asarray(_pad_wband_np(bw, C, with_valid=True), dt)
     padded = banded_gather_matmul(rows_v, pad_w, pad_plan)  # [B, Mb, R2p]
 
+    # group taps by input dy: each dy row's taps (all dz, dwb) cluster
+    # around one rank offset; the dz/dwb jitter plus the ~(Mb_in/Mo)-scaled
+    # block span fit a slab far narrower than one covering all dy rows.
     cband = min(band, (Mb // 16) * 16)
-    conv_plan = make_band_plan(idx, hit, Mb, cband, bm, fb_cap, symmetric=False)
+    dgroups = tuple(
+        tuple((iz * kh + iy) * nwb_h + iw
+              for iz in range(kd) for iw in range(nwb_h))
+        for iy in range(kh)
+    )
+    conv_plan = make_band_plan(idx, hit, Mb, bm=bm, fb_cap=fb_cap,
+                               symmetric=False, groups=dgroups,
+                               group_bands=(cband,) * kh)
 
     # per-tap block-diagonal weights [Q, R2p, Routt]
     R2 = (bw + 2) * (C + 1)

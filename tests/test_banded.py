@@ -114,6 +114,59 @@ def test_banded_grad_matches_reference():
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=1e-4, atol=1e-4)
 
 
+def test_grouped_band_plan_exact():
+    """Per-group slabs: taps clustered around distinct centers fit narrow
+    per-group bands; kernel + fallback == full reference, and the grouped
+    plan needs no wider-band fallback than a single band covering the whole
+    tap spread."""
+    rng = np.random.RandomState(11)
+    B, M = 2, 512
+    Mb = M
+    # 6 taps in 3 clusters: centers -160, 0, +160 with +-20 jitter
+    m = np.arange(M)
+    idx = np.stack([
+        np.clip(m - 160 + rng.randint(-20, 21, M), 0, Mb - 1),
+        np.clip(m - 158 + rng.randint(-20, 21, M), 0, Mb - 1),
+        np.clip(m + rng.randint(-20, 21, M), 0, Mb - 1),
+        np.clip(m + 2 + rng.randint(-20, 21, M), 0, Mb - 1),
+        np.clip(m + 160 + rng.randint(-20, 21, M), 0, Mb - 1),
+        np.clip(m + 162 + rng.randint(-20, 21, M), 0, Mb - 1),
+    ])
+    idx = np.tile(idx[None], (B, 1, 1)).astype(np.int32)
+    hit = rng.rand(B, 6, M) >= 0.3
+    idxj, hitj = jnp.asarray(idx), jnp.asarray(hit)
+    table = jnp.asarray(rng.randn(B, Mb, 128).astype(np.float32))
+    wband = jnp.asarray((rng.randn(6, 128, 128) * 0.1).astype(np.float32))
+    groups = ((0, 1), (2, 3), (4, 5))
+    plan = bd.make_band_plan(idxj, hitj, Mb, bm=128, fb_cap=512,
+                             groups=groups, group_bands=(192, 192, 192))
+    assert plan.starts.shape == (B, 3, M // 128)
+    # narrow per-group bands cover the jitter; nothing leaks to the fallback
+    assert int(plan.oob_count.sum()) == 0
+    out = bd.banded_gather_matmul(table, wband, plan)
+    np.testing.assert_allclose(np.asarray(out), _ref(table, idxj, hitj, wband),
+                               rtol=1e-4, atol=1e-4)
+    # the Mosaic kernel (interpret) agrees with the XLA path
+    os.environ["DAL3D_BANDED"] = "interpret"
+    try:
+        got = bd._banded_fwd_pallas(table, plan.idx_k, plan.starts, wband,
+                                    plan.groups, plan.bands, plan.bm)
+        dw_got = bd._banded_dw_pallas(table, plan.idx_k, plan.starts,
+                                      out, plan.groups, plan.bands, plan.bm)
+    finally:
+        del os.environ["DAL3D_BANDED"]
+    ref_k = bd._banded_fwd_xla(table, plan.idx_k, wband)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_k),
+                               rtol=1e-4, atol=1e-4)
+    tn, gn, ik = np.asarray(table), np.asarray(out), np.asarray(plan.idx_k)
+    dw_ref = np.zeros((6, 128, 128), np.float32)
+    for b in range(B):
+        for q in range(6):
+            rows = np.where((ik[b, q] >= 0)[:, None], tn[b][np.maximum(ik[b, q], 0)], 0.0)
+            dw_ref[q] += rows.T @ gn[b]
+    np.testing.assert_allclose(np.asarray(dw_got), dw_ref, rtol=1e-3, atol=1e-3)
+
+
 def test_oob_count_observable():
     rng = np.random.RandomState(3)
     B, Q, M, Mb = 1, 4, 256, 256
@@ -286,9 +339,9 @@ def test_pallas_kernel_interpret_matches_xla():
     os.environ["DAL3D_BANDED"] = "interpret"
     try:
         got = bd._banded_fwd_pallas(table, plan.idx_k, plan.starts, wband,
-                                    band, plan.bm)
+                                    plan.groups, plan.bands, plan.bm)
         dw_got = bd._banded_dw_pallas(table, plan.idx_k, plan.starts,
-                                      ref, band, plan.bm)
+                                      ref, plan.groups, plan.bands, plan.bm)
     finally:
         del os.environ["DAL3D_BANDED"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
@@ -318,7 +371,7 @@ def test_pallas_kernel_self_tap_matches_xla():
     plan = bd.make_band_plan(idx, hit, Mb, band=band, fb_cap=1024, self_tap=1)
     assert plan.self_tap == 1
     # start floor: every block's own rows inside its slab
-    st = np.asarray(plan.starts)
+    st = np.asarray(plan.starts)[:, 0]  # single group
     m0 = np.arange(M // plan.bm) * plan.bm
     assert (st >= np.maximum(m0 + plan.bm - band, 0)[None, :] - 0).all()
     assert (st <= m0[None, :]).all()
@@ -328,7 +381,8 @@ def test_pallas_kernel_self_tap_matches_xla():
     os.environ["DAL3D_BANDED"] = "interpret"
     try:
         got = bd._banded_fwd_pallas(table, plan.idx_k, plan.starts, wband,
-                                    band, plan.bm, self_tap=1)
+                                    plan.groups, plan.bands, plan.bm,
+                                    self_tap=1)
     finally:
         del os.environ["DAL3D_BANDED"]
     ref_kernel = bd._banded_fwd_xla(table, plan.idx_k, wband)
