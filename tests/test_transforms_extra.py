@@ -1,0 +1,111 @@
+"""Tests for the widened mmdet3d pipeline-stage surface
+(dal3d_tpu/data/pipelines/transforms_extra.py)."""
+import numpy as np
+
+from dal3d_tpu.data.pipelines import transforms_extra as tx
+
+
+def _lidar_res(points):
+    return {"mode": "train", "lidar": {"points": points, "annotations": {}}}
+
+
+def test_frame_dropout_keeps_current_sweep():
+    rng = np.random.RandomState(0)
+    pts = np.concatenate([
+        np.concatenate([rng.randn(50, 4), np.full((50, 1), t)], 1)
+        for t in (0.0, 0.1, 0.2, 0.3)
+    ]).astype(np.float32)
+    stage = tx.FrameDropout(prob=1.0, time_dim=-1,
+                            rng=np.random.RandomState(1))
+    res, _ = stage(_lidar_res(pts), {})
+    out = res["lidar"]["points"]
+    # prob=1 drops every prior sweep; the current sweep always survives
+    assert out.shape[0] == 50 and (out[:, -1] == 0).all()
+    stage = tx.FrameDropout(prob=0.0, rng=np.random.RandomState(1))
+    res, _ = stage(_lidar_res(pts), {})
+    assert res["lidar"]["points"].shape[0] == 200
+
+
+def test_point_sample_counts_and_range():
+    rng = np.random.RandomState(0)
+    pts = rng.randn(1000, 5).astype(np.float32) * 5
+    res, _ = tx.PointSample(256, rng=np.random.RandomState(2))(
+        _lidar_res(pts), {})
+    assert res["lidar"]["points"].shape == (256, 5)
+    # smaller cloud upsamples with replacement
+    res, _ = tx.PointSample(64, rng=np.random.RandomState(2))(
+        _lidar_res(pts[:10]), {})
+    assert res["lidar"]["points"].shape == (64, 5)
+    # sample_range: all far points kept
+    far = (np.linalg.norm(pts[:, :3], axis=1) > 8.0).sum()
+    res, _ = tx.PointSample(600, sample_range=8.0,
+                            rng=np.random.RandomState(3))(_lidar_res(pts), {})
+    out = res["lidar"]["points"]
+    assert out.shape == (600, 5)
+    assert (np.linalg.norm(out[:, :3], axis=1) > 8.0).sum() == min(far, 600)
+
+
+def test_background_points_filter_shell():
+    # one box at origin; points inside, in the shell, and far away
+    box = np.array([[0, 0, 0, 2.0, 2.0, 2.0, 0.0]], np.float32)
+    pts = np.array([
+        [0.0, 0.0, 0.5, 1.0],    # inside (z in [0, 2) for origin (.5,.5,0))
+        [1.4, 0.0, 0.5, 1.0],    # shell: inside enlarged (w+1), outside box
+        [9.0, 9.0, 0.5, 1.0],    # background far away
+    ], np.float32)
+    res = _lidar_res(pts)
+    res["lidar"]["annotations"]["gt_boxes"] = box
+    res, _ = tx.BackgroundPointsFilter((1.0, 1.0, 1.0))(res, {})
+    out = res["lidar"]["points"]
+    assert out.shape[0] == 2
+    assert not any(np.allclose(p, pts[1]) for p in out)
+
+
+def test_voxel_based_point_sampler_caps_per_voxel():
+    rng = np.random.RandomState(0)
+    # 100 points in ONE voxel (current sweep) + a spread prev sweep
+    cur = np.concatenate([rng.rand(100, 3) * 0.05 + 0.5,
+                          rng.rand(100, 1), np.zeros((100, 1))], 1)
+    prev = np.concatenate([rng.rand(50, 3) * 9, rng.rand(50, 1),
+                           np.full((50, 1), 0.1)], 1)
+    pts = np.concatenate([cur, prev]).astype(np.float32)
+    cfg = dict(voxel_size=(0.5, 0.5, 0.5),
+               point_cloud_range=(0, 0, 0, 10, 10, 10),
+               max_num_points=5, max_voxels=1000)
+    stage = tx.VoxelBasedPointSampler(cfg, prev_sweep_cfg=dict(cfg),
+                                      time_dim=4,
+                                      rng=np.random.RandomState(1))
+    res, _ = stage(_lidar_res(pts), {})
+    out = res["lidar"]["points"]
+    # the clustered current sweep collapses to <= 5 points
+    assert (out[:, 4] == 0).sum() <= 5
+    assert out.shape[0] < pts.shape[0] and out.shape[1] == 5
+
+
+def test_image_pad_fixed_and_divisor():
+    img = np.ones((37, 50, 3), np.float32)
+    res = {"camera": {"np_images": [img]}}
+    out, _ = tx.ImagePad(size=(64, 64))(res, {})
+    a = out["camera"]["np_images"][0]
+    assert a.shape == (64, 64, 3)
+    assert a[:37, :50].min() == 1.0 and a[40:, :].max() == 0.0
+    res = {"camera": {"np_images": [img]}}
+    out, _ = tx.ImagePad(size_divisor=32)(res, {})
+    assert out["camera"]["np_images"][0].shape == (64, 64, 3)
+
+
+def test_hsv_roundtrip_and_distort():
+    rng = np.random.RandomState(0)
+    img = rng.rand(16, 16, 3).astype(np.float32) * 255
+    h, s, v = tx._rgb_to_hsv(img)
+    back = tx._hsv_to_rgb(h, s, v)
+    np.testing.assert_allclose(back, img, atol=1e-3)
+    res = {"mode": "train", "camera": {"np_images": [img.copy()]}}
+    out, _ = tx.ImageDistort(rng=np.random.RandomState(5))(res, {})
+    a = out["camera"]["np_images"][0]
+    assert a.shape == img.shape and a.dtype == np.float32
+    assert a.min() >= 0.0 and a.max() <= 255.0
+    # eval mode is a no-op
+    res = {"mode": "val", "camera": {"np_images": [img.copy()]}}
+    out, _ = tx.ImageDistort(rng=np.random.RandomState(5))(res, {})
+    np.testing.assert_array_equal(out["camera"]["np_images"][0], img)
