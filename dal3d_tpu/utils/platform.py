@@ -29,11 +29,20 @@ def setup_jax(
         "DAL3D_JAX_CACHE", os.path.expanduser("~/.cache/dal3d_jax")
     )
     if force_cpu:
-        # separate cache namespace: CPU executables AOT-compiled by the remote
-        # helper carry that machine's feature set and spam SIGILL warnings
-        # when loaded on this host (VERDICT r2); host-compiled CPU artifacts
-        # get their own directory
-        cache = cache + "-cpu"
+        # separate cache namespace keyed by THIS host's CPU features: CPU
+        # executables AOT-compiled on a machine with a different feature set
+        # spam machine-mismatch/SIGILL warnings when loaded here (VERDICT
+        # r2); a per-feature-set directory means such artifacts are never
+        # picked up.
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next(l for l in f if l.startswith("flags"))
+            sig = hashlib.sha1(flags.encode()).hexdigest()[:8]
+        except Exception:
+            sig = "generic"
+        cache = f"{cache}-cpu-{sig}"
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
