@@ -133,6 +133,41 @@ def _neighbor_lookup(brick_lin, grid, deltas, shape_bricks):
     return jax.vmap(per_batch)(brick_lin, grid)
 
 
+def _neighbor_lookup_window(brick_lin, grid, kd, kh, shape_bricks):
+    """Window-gather twin of _neighbor_lookup for centered (dz, dy, 0)
+    stencils: ONE lax.gather of a [kd, kh] grid window per output row (M
+    start indices) instead of kd*kh scalar gathers (Q*M indices) — the
+    rulebook build is index-issue-bound like every gather on this TPU
+    (ROADMAP round-1 facts), so fewer indices is the whole game. Tap order
+    matches subm_rulebook's z-major (dz, dy) deltas."""
+    D, H, Wb = shape_bricks
+    nbc = D * H * Wb
+    pz, py = (kd - 1) // 2, (kh - 1) // 2
+
+    def per_batch(lin, g):
+        z, y, wb = _decode(lin, H, Wb)
+        g3 = jnp.pad(g[:nbc].reshape(D, H, Wb),
+                     ((pz, kd - 1 - pz), (py, kh - 1 - py), (0, 0)),
+                     constant_values=-1)
+        starts = jnp.stack([z, y, wb], -1)  # pad shifts the window origin
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+            start_index_map=(0, 1, 2))
+        win = jax.lax.gather(g3, starts, dn, slice_sizes=(kd, kh, 1),
+                             mode=jax.lax.GatherScatterMode.CLIP)
+        idx = jnp.swapaxes(win.reshape(lin.shape[0], kd * kh), 0, 1)
+        idx = jnp.where((lin < nbc)[None, :], idx, -1)
+        return jnp.maximum(idx, 0), idx >= 0
+
+    return jax.vmap(per_batch)(brick_lin, grid)
+
+
+def _use_window_rulebook() -> bool:
+    import os
+
+    return os.environ.get("DAL3D_RB_WINDOW", "0") == "1"
+
+
 def _gather_rows(rows: jnp.ndarray, idx: jnp.ndarray, hit: jnp.ndarray):
     """rows [B, Mb, R], idx/hit [B, Q, M] -> [B, Q, M, R] (misses zero)."""
     B, Mb, R = rows.shape
@@ -287,14 +322,17 @@ def subm_rulebook(bb: BrickBatch, kernel_size, grid: jnp.ndarray | None = None):
     kd, kh, _ = _triple(kernel_size)
     if grid is None:
         grid = build_brick_grid(bb)
-    dzs = np.arange(kd) - (kd - 1) // 2
-    dys = np.arange(kh) - (kh - 1) // 2
-    deltas = np.stack(
-        np.meshgrid(dzs, dys, np.zeros(1, np.int64), indexing="ij"), -1
-    ).reshape(-1, 3)
-    idx, hit = _neighbor_lookup(
-        bb.brick_lin, grid, deltas, (bb.shape[0], bb.shape[1], bb.wb)
-    )
+    shape_bricks = (bb.shape[0], bb.shape[1], bb.wb)
+    if _use_window_rulebook():
+        idx, hit = _neighbor_lookup_window(bb.brick_lin, grid, kd, kh,
+                                           shape_bricks)
+    else:
+        dzs = np.arange(kd) - (kd - 1) // 2
+        dys = np.arange(kh) - (kh - 1) // 2
+        deltas = np.stack(
+            np.meshgrid(dzs, dys, np.zeros(1, np.int64), indexing="ij"), -1
+        ).reshape(-1, 3)
+        idx, hit = _neighbor_lookup(bb.brick_lin, grid, deltas, shape_bricks)
     hidx, hhit = halo_indices(bb, grid)
     return _name_plan((idx, hit, hidx, hhit))
 

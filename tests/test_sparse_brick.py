@@ -149,3 +149,29 @@ def test_gradients_flow():
 
     g = jax.grad(loss)(w)
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_window_rulebook_matches_scalar():
+    """The one-gather-per-row window rulebook (DAL3D_RB_WINDOW=1) produces
+    bit-identical idx/hit to the per-tap scalar lookup, for the full 3x3
+    stencil and the asymmetric stage-3 (3,1,1) kernel."""
+    import os
+
+    rng = np.random.RandomState(7)
+    f, c, v = _random_scene(rng, B=2, N=200, shape=(6, 16, 32))
+    bb = spb.from_voxels(f, c, v, (6, 16, 32), bw=8, mb_cap=256, spatial=True)
+    grid = spb.build_brick_grid(bb)
+    prev = os.environ.get("DAL3D_RB_WINDOW")
+    try:
+        for k in (3, (3, 1, 1)):
+            os.environ["DAL3D_RB_WINDOW"] = "0"
+            i0, h0, _, _ = spb.subm_rulebook(bb, k, grid)
+            os.environ["DAL3D_RB_WINDOW"] = "1"
+            i1, h1, _, _ = spb.subm_rulebook(bb, k, grid)
+            np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+            np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    finally:
+        if prev is None:
+            os.environ.pop("DAL3D_RB_WINDOW", None)
+        else:
+            os.environ["DAL3D_RB_WINDOW"] = prev
