@@ -4,7 +4,12 @@ partial-label nuScenes variant (runtime.ActiveTrainer)."""
 from _cbgs_base import *  # noqa: F401,F403
 
 dataset_type = "NuScenesPartialDataset"
-label_fraction = 0.5
+# AL buffer drives the labeled subset (reference cbgs_partial.py:315-316);
+# flag "start" seeds partial_01 with sample_ratio of the pool.
+sample_ratio = 0.1
+active_buffer = "data/buffers/partial_buffer.json"
+active_flag = "start"
+label_fraction = 1.0  # optional box-level budget extension (1.0 = off)
 
 estimator = dict(type="Estimator", max_pts=128, hidden=(64, 128))
 estimator_lr = 0.001

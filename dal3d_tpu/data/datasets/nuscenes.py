@@ -143,6 +143,12 @@ class NuScenesDataset:
         """
         with open(info_path, "rb") as f:
             all_infos = pickle.load(f)
+        self._set_infos(all_infos)
+
+    def _set_infos(self, all_infos):
+        """Install ``all_infos`` as the epoch pool: flatten at test time,
+        CBGS-resample at train time (shared with NuScenesPartialDataset,
+        whose load_infos subsets the pool by the AL buffer first)."""
         self._nusc_infos_all = all_infos
         if self.test_mode:
             # eval infos may be stored as a dict of splits

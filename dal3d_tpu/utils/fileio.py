@@ -31,20 +31,22 @@ def load(path: str, file_format: str | None = None) -> Any:
     raise ValueError(f"unsupported format: {fmt} ({path})")
 
 
-def dump(obj: Any, path: str, file_format: str | None = None) -> None:
+def dump(obj: Any, path: str, file_format: str | None = None, **kwargs) -> None:
+    """Serialize ``obj`` to ``path``; extra kwargs go to the backend writer
+    (mmcv-style surface, e.g. ``dump(buf, "b.json", indent=4)``)."""
     fmt = file_format or _ext(path)
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
     if fmt == "json":
         with open(path, "w") as f:
-            json.dump(obj, f)
+            json.dump(obj, f, **kwargs)
     elif fmt in ("yml", "yaml"):
         import yaml
 
         with open(path, "w") as f:
-            yaml.safe_dump(obj, f)
+            yaml.safe_dump(obj, f, **kwargs)
     elif fmt in ("pkl", "pickle"):
         with open(path, "wb") as f:
-            pickle.dump(obj, f)
+            pickle.dump(obj, f, **kwargs)
     else:
         raise ValueError(f"unsupported format: {fmt} ({path})")

@@ -117,6 +117,45 @@ def test_partial_dataset(tmp_path):
     assert len(part) == 4 and n_full > 0
 
 
+def test_partial_dataset_active_buffer(tmp_path):
+    """Buffer-driven frame subsetting (reference nuscenes_partial.py:78-107):
+    'start' writes the partial_01 seed buffer; a named flag reloads it."""
+    from dal3d_tpu.data.datasets.synthetic import make_synthetic_nuscenes
+    from dal3d_tpu.data.datasets.nuscenes_partial import NuScenesPartialDataset
+
+    info_path = make_synthetic_nuscenes(str(tmp_path), n_frames=10,
+                                        points_per_frame=200, max_boxes=10,
+                                        range_xy=7)
+    buf = str(tmp_path / "buffer.json")
+    start = NuScenesPartialDataset(info_path=info_path, nsweeps=1,
+                                   class_names=["car"], test_mode=True,
+                                   active_buffer=buf, active_flag="start",
+                                   sample_ratio=0.5)
+    import json
+
+    with open(buf) as f:
+        ids = json.load(f)["partial_01"]
+    assert len(ids) == 5 and len(start) == 5
+    assert sorted(set(ids)) == sorted(ids)  # no duplicates
+
+    resumed = NuScenesPartialDataset(info_path=info_path, nsweeps=1,
+                                     class_names=["car"], test_mode=True,
+                                     active_buffer=buf,
+                                     active_flag="partial_01")
+    assert len(resumed) == 5
+    assert [i["token"] for i in resumed._nusc_infos] == \
+        [i["token"] for i in start._nusc_infos]
+
+    # train mode: CBGS resample runs on the subset, reset() stays inside it
+    tr = NuScenesPartialDataset(info_path=info_path, nsweeps=1,
+                                class_names=["car"], test_mode=False,
+                                active_buffer=buf, active_flag="partial_01")
+    subset_tokens = {i["token"] for i in resumed._nusc_infos}
+    assert {i["token"] for i in tr._nusc_infos} <= subset_tokens
+    tr.reset()
+    assert {i["token"] for i in tr._nusc_infos} <= subset_tokens
+
+
 def test_image_backbones_forward():
     """resnet/senet/ssd_vgg registry surface (reference det3d/models/
     backbones/{resnet,senet,ssd_vgg}.py — registered, unused by the active

@@ -24,6 +24,10 @@ def main():
 
     cfg = Config.fromfile(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "configs", "cbgs_spatial_temporal.py"))
+    # engine A/B without editing configs: IMPL=brick|banded|hybrid|gather
+    impl = os.environ.get("IMPL")
+    if impl:
+        cfg["model"]["backbone"]["impl"] = impl
     bundle = build_detector(cfg)
 
     B, P, M = int(os.environ.get("B", 2)), 250_000, 60000

@@ -69,7 +69,21 @@ def main():
             db["db_info_path"] = dbp.replace(os.path.splitext(dbp)[-1], f"_{args.budget}{os.path.splitext(dbp)[-1]}")
 
     bundle = build_detector(cfg)
-    dataset = NuScenesDataset(
+    from dal3d_tpu.data.dataset_factory import build_dataset
+
+    # top-level dataset_type wins: configs assign it after `from _base import *`,
+    # by which time data.train.type was already baked with the base's value
+    train_data.pop("type", None)
+    dataset_type = cfg.get("dataset_type", "NuScenesDataset")
+    if dataset_type in ("NUSC_PART", "NuScenesPartialDataset"):
+        # partial-label AL knobs live at config top level (reference
+        # examples/active/cbgs_partial.py:315-316)
+        for k in ("active_buffer", "active_flag", "sample_ratio", "label_fraction"):
+            if cfg.get(k) is not None:
+                train_data.setdefault(k, cfg[k])
+    dataset = build_dataset(
+        train_data,
+        dataset_type=dataset_type,
         info_path=train_data["info_path"],
         root_path=train_data.get("root_path", ""),
         nsweeps=train_data.get("nsweeps", 10),
