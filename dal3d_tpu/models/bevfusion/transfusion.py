@@ -26,31 +26,59 @@ from ..layers import BatchNorm2d, kaiming_conv_init
 from ..losses.losses import sigmoid_focal_loss
 
 
-class FFN(nn.Module):
-    hidden: int
-    out: int
+class PositionEmbeddingLearned(nn.Module):
+    """Learned absolute position MLP (reference utils/transformer.py:14-29):
+    Conv1d(2, d, 1) + BN1d + ReLU + Conv1d(d, d, 1). k=1 Conv1d == Dense;
+    torch BN1d defaults eps 1e-5 / momentum 0.1."""
+
+    dim: int
 
     @nn.compact
-    def __call__(self, x):  # [B, P, C]
-        x = nn.Dense(self.hidden)(x)
+    def __call__(self, xy, train: bool = False):  # [B, N, 2]
+        x = nn.Dense(self.dim, name="fc1")(xy)
+        x = BatchNorm2d(momentum=0.9, epsilon=1e-5, name="bn")(x, train)
         x = nn.relu(x)
-        return nn.Dense(self.out)(x)
+        return nn.Dense(self.dim, name="fc2")(x)
+
+
+class PredFFN(nn.Module):
+    """One prediction branch (reference utils/transformer.py:496-540 FFN):
+    ConvModule(d -> 64, k=1, BN1d, ReLU) + Conv1d(64 -> out, k=1, bias);
+    the heatmap branch's final bias starts at init_bias = -2.19."""
+
+    out: int
+    head_conv: int = 64
+    init_bias: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):  # [B, P, C]
+        x = nn.Dense(self.head_conv, name="conv0")(x)
+        x = BatchNorm2d(momentum=0.9, epsilon=1e-5, name="bn0")(x, train)
+        x = nn.relu(x)
+        return nn.Dense(
+            self.out, name="out",
+            bias_init=nn.initializers.constant(self.init_bias),
+        )(x)
 
 
 class DecoderLayer(nn.Module):
+    """Post-norm transformer decoder layer (reference utils/transformer.py:
+    33-111): positional encodings are added to q, k AND v in both the query
+    self-attention and the BEV cross-attention (:94-101)."""
+
     dim: int = 128
     heads: int = 8
     ffn_dim: int = 256
 
     @nn.compact
     def __call__(self, q, q_pos, kv, kv_pos):
-        """q [B,P,C], kv [B,HW,C] with positional encodings added to q/k."""
-        sa = nn.MultiHeadDotProductAttention(num_heads=self.heads)(
-            q + q_pos, q + q_pos, q
-        )
+        """q [B,P,C], kv [B,HW,C] with positional encodings."""
+        qe = q + q_pos
+        sa = nn.MultiHeadDotProductAttention(num_heads=self.heads)(qe, qe, qe)
         q = nn.LayerNorm()(q + sa)
+        ke = kv + kv_pos
         ca = nn.MultiHeadDotProductAttention(num_heads=self.heads)(
-            q + q_pos, kv + kv_pos, kv
+            q + q_pos, ke, ke
         )
         q = nn.LayerNorm()(q + ca)
         y = nn.Dense(self.ffn_dim)(q)
@@ -65,56 +93,91 @@ class TransFusionHead(nn.Module):
     hidden_channel: int = 128
     num_heads: int = 8
     code_size: int = 10  # x,y offset(2) + height(1) + dim(3) + rot(2) + vel(2)
+    nms_kernel_size: int = 3
+    dataset: str = "nuScenes"  # classes 8/9 skip the local-max NMS (ref :248-256)
 
     @nn.compact
     def __call__(self, bev, train: bool = False):
-        """bev [B, H, W, C] -> dict of per-proposal predictions + heatmap."""
+        """bev [B, H, W, C] -> dict of per-proposal predictions + heatmap.
+
+        Layer-for-layer faithful to reference transfusion.py:95-311 so that
+        torch checkpoints convert 1:1 (models/bevfusion/convert_bevfusion.py):
+        plain shared_conv (no norm), ConvModule+conv heatmap head, Conv1d
+        class encoding, separate self/cross PositionEmbeddingLearned MLPs,
+        BN'd 64-wide prediction FFNs.
+
+        Layout note: the reference BEV map is [B, C, X, Y] (its vendored
+        voxelizer emits (x,y,z) coords, sparse_shape [1440,1440,41], so
+        row = x-cells) and bev_pos channel 0 = row + 0.5 = x-cells + 0.5
+        (create_2D_grid :173-183 with the "NOTE: modified" meshgrid order;
+        the heatmap gaussian is drawn at center_int[[1,0]] :570-574, i.e.
+        row = x). Our BEV map keeps the Det3D (z,y,x) layout: row = y-cells,
+        col = x-cells. We therefore feed the pos-MLPs the SAME semantic
+        vector — (x-cells + 0.5, y-cells + 0.5) — so converted torch
+        pos-MLP/FFN weights apply verbatim; only conv kernels need an
+        H<->W transpose in the converter (ref :307 adds query_pos to the
+        center output before decode, decode treats channel 0 as x)."""
         B, H, W, C = bev.shape
         P, nc, d = self.num_proposals, self.num_classes, self.hidden_channel
 
-        x = nn.Conv(d, (3, 3), padding=1, use_bias=False, kernel_init=kaiming_conv_init())(bev)
-        x = nn.relu(BatchNorm2d()(x, train))
+        x = nn.Conv(d, (3, 3), padding=1, use_bias=True,
+                    kernel_init=kaiming_conv_init(), name="shared_conv")(bev)
 
-        # dense heatmap (class-aware)
-        h = nn.Conv(d, (3, 3), padding=1, kernel_init=kaiming_conv_init())(x)
-        h = nn.relu(BatchNorm2d()(h, train))
-        heatmap = nn.Conv(nc, (3, 3), padding=1, kernel_init=kaiming_conv_init())(h)
+        # dense heatmap (class-aware): ConvModule(d, d, 3) + Conv(d, nc, 3)
+        h = nn.Conv(d, (3, 3), padding=1, use_bias=True,
+                    kernel_init=kaiming_conv_init(), name="heatmap_conv")(x)
+        h = nn.relu(BatchNorm2d(name="heatmap_bn")(h, train))
+        heatmap = nn.Conv(nc, (3, 3), padding=1, use_bias=True,
+                          kernel_init=kaiming_conv_init(), name="heatmap_out")(h)
 
-        # query init: local-max NMS + top-P over (class, y, x)
+        # query init (ref :240-267): local-max NMS with the padding ring
+        # excluded; nuScenes classes 8/9 (pedestrian, traffic_cone) keep the
+        # raw heatmap (kernel-1 pool); top-P over the CLASS-MAJOR flatten.
         prob = jax.nn.sigmoid(heatmap)
-        pooled = nn.max_pool(prob, (3, 3), strides=(1, 1), padding="SAME")
-        local_max = jnp.where(prob == pooled, prob, 0.0)
-        flat = local_max.reshape(B, H * W * nc)
+        k = self.nms_kernel_size
+        pad = k // 2
+        pooled = nn.max_pool(prob, (k, k), strides=(1, 1), padding="SAME")
+        yy0 = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        xx0 = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        inner = ((yy0 >= pad) & (yy0 < H - pad) & (xx0 >= pad) & (xx0 < W - pad))
+        local_max = jnp.where(inner[None, :, :, None], pooled, 0.0)
+        if self.dataset == "nuScenes" and nc == 10:
+            keep_raw = (jnp.arange(nc) >= 8)[None, None, None, :]
+            local_max = jnp.where(keep_raw, prob, local_max)
+        masked = prob * (prob == local_max)
+        flat = masked.transpose(0, 3, 1, 2).reshape(B, nc * H * W)
         top_scores, top_idx = jax.lax.top_k(flat, P)  # [B, P]
-        cls_id = top_idx % nc
-        pix = top_idx // nc
+        cls_id = top_idx // (H * W)
+        pix = top_idx % (H * W)
         qy, qx = pix // W, pix % W
 
         feat_flat = x.reshape(B, H * W, d)
         q_feat = jnp.take_along_axis(feat_flat, pix[..., None], axis=1)  # [B,P,d]
-        cls_emb = nn.Embed(nc, d, name="class_encoding")(cls_id)
+        # Conv1d(nc, d, 1) over the one-hot class == Dense with bias (ref :287)
+        cls_emb = nn.Dense(d, name="class_encoding")(jax.nn.one_hot(cls_id, nc))
         q_feat = q_feat + cls_emb
 
-        # positional encodings
-        pos_mlp = nn.Dense(d, name="query_pos")
-        q_pos = pos_mlp(jnp.stack([qx, qy], axis=-1).astype(jnp.float32))
-        yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
-        kv_pos = pos_mlp(
-            jnp.stack([xx, yy], axis=-1).reshape(1, H * W, 2).astype(jnp.float32)
-        )
-        kv_pos = jnp.broadcast_to(kv_pos, (B, H * W, d))
+        # positional encodings: channel 0 = x-cells, channel 1 = y-cells
+        # (see docstring); query pos = bev_pos gathered at the query pixel
+        q_xy = jnp.stack([qx, qy], axis=-1).astype(jnp.float32) + 0.5
+        kv_xy = (jnp.stack([xx0, yy0], axis=-1).reshape(1, H * W, 2)
+                 .astype(jnp.float32) + 0.5)
+        kv_xy = jnp.broadcast_to(kv_xy, (B, H * W, 2))
+        q_pos = PositionEmbeddingLearned(d, name="self_posembed")(q_xy, train)
+        kv_pos = PositionEmbeddingLearned(d, name="cross_posembed")(kv_xy, train)
 
-        q = DecoderLayer(d, self.num_heads)(q_feat, q_pos, feat_flat, kv_pos)
+        q = DecoderLayer(d, self.num_heads, name="decoder0")(
+            q_feat, q_pos, feat_flat, kv_pos)
 
         # prediction FFNs (reference: center, height, dim, rot, vel, heatmap)
-        center = FFN(d, 2)(q)  # offset from the query pixel
-        height = FFN(d, 1)(q)
-        dim = FFN(d, 3)(q)
-        rot = FFN(d, 2)(q)
-        vel = FFN(d, 2)(q)
-        cls_logits = FFN(d, nc)(q)
+        center = PredFFN(2, name="pred_center")(q, train)  # offset from query pos
+        height = PredFFN(1, name="pred_height")(q, train)
+        dim = PredFFN(3, name="pred_dim")(q, train)
+        rot = PredFFN(2, name="pred_rot")(q, train)
+        vel = PredFFN(2, name="pred_vel")(q, train)
+        cls_logits = PredFFN(nc, init_bias=-2.19, name="pred_heatmap")(q, train)
         return {
-            "center": center + jnp.stack([qx, qy], -1).astype(jnp.float32),
+            "center": center + q_xy,
             "height": height,
             "dim": dim,
             "rot": rot,
