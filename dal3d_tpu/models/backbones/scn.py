@@ -68,6 +68,9 @@ class SparseBasicBlock(nn.Module):
 
     planes: int
     dtype: str = "float32"
+    # det3d blocks carry conv biases (reference det3d scn.py:54-97); the
+    # bevfusion encoder's mmcv BasicBlock convs are bias-free
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x, rulebook, train: bool):
@@ -75,10 +78,10 @@ class SparseBasicBlock(nn.Module):
 
         if isinstance(x, BrickBatch):
             identity = x.features
-            out = SubMConv(self.planes, use_bias=True, dtype=self.dtype)(x, rulebook)
+            out = SubMConv(self.planes, use_bias=self.use_bias, dtype=self.dtype)(x, rulebook)
             f = nn.relu(MaskedBatchNorm()(out.feat4(), out.vmask, train))
             out = out.replace(features=f.reshape(out.features.shape))
-            out = SubMConv(self.planes, use_bias=True, dtype=self.dtype)(out, rulebook)
+            out = SubMConv(self.planes, use_bias=self.use_bias, dtype=self.dtype)(out, rulebook)
             f = MaskedBatchNorm()(out.feat4(), out.vmask, train)
             f = nn.relu(f.reshape(out.features.shape) + identity)
             f = jnp.where(jnp.repeat(out.vmask, self.planes, axis=-1), f, 0.0)
@@ -87,18 +90,18 @@ class SparseBasicBlock(nn.Module):
             dense, occ = x
             identity = dense
             mask = occ > 0
-            out, _ = SubMConv(self.planes, use_bias=True, dtype=self.dtype)((dense, occ))
+            out, _ = SubMConv(self.planes, use_bias=self.use_bias, dtype=self.dtype)((dense, occ))
             f = nn.relu(MaskedBatchNorm()(out, mask, train))
-            out, _ = SubMConv(self.planes, use_bias=True, dtype=self.dtype)((f, occ))
+            out, _ = SubMConv(self.planes, use_bias=self.use_bias, dtype=self.dtype)((f, occ))
             f = MaskedBatchNorm()(out, mask, train)
             f = nn.relu(f + identity.astype(f.dtype)) * occ[..., None].astype(f.dtype)
             return f, occ
         identity = x.features
-        out = SubMConv(self.planes, use_bias=True, dtype=self.dtype)(x, rulebook)
+        out = SubMConv(self.planes, use_bias=self.use_bias, dtype=self.dtype)(x, rulebook)
         f = MaskedBatchNorm()(out.features, out.valid, train)
         f = nn.relu(f)
         out = out.replace(features=f)
-        out = SubMConv(self.planes, use_bias=True, dtype=self.dtype)(out, rulebook)
+        out = SubMConv(self.planes, use_bias=self.use_bias, dtype=self.dtype)(out, rulebook)
         f = MaskedBatchNorm()(out.features, out.valid, train)
         f = nn.relu(f + identity)
         f = jnp.where(out.valid[..., None], f, 0.0)

@@ -36,7 +36,15 @@ class BEVFusion(nn.Module):
     image_size: Tuple[int, int] = (256, 704)
     feature_size: Tuple[int, int] = (32, 88)
     decoder_channels: Tuple[int, ...] = (128, 256)
+    decoder_layer_nums: Tuple[int, ...] = (5, 5)
+    neck_out_channels: Tuple[int, ...] = (256, 256)
     voxel_caps: Tuple[int, ...] = (120000, 60000, 30000, 30000)
+    encoder_channels: Tuple[Tuple[int, ...], ...] = (
+        (16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128)
+    )
+    hidden_channel: int = 128
+    num_heads: int = 8
+    ffn_channel: int = 256
     # BEV map segmentation (reference heads/segm/vanilla.py; trained from
     # LoadBEVSegmentation targets)
     with_map_seg: bool = False
@@ -53,7 +61,9 @@ class BEVFusion(nn.Module):
             batch["points"], batch["points_valid"]
         )
         sb = sp.from_voxels(vox["features"], vox["coordinates"], vox["voxel_valid"], cfg.sparse_shape)
-        lidar_bev = SparseEncoder(voxel_caps=self.voxel_caps)(sb, train)  # [B, H/8, W/8, 256]
+        lidar_bev = SparseEncoder(
+            encoder_channels=self.encoder_channels, voxel_caps=self.voxel_caps
+        )(sb, train)  # [B, H/8, W/8, 256]
         feats.append(lidar_bev)
 
         # ---- camera branch ----
@@ -91,10 +101,13 @@ class BEVFusion(nn.Module):
             feats.insert(0, cam_bev)
 
         fused = ConvFuser(out_channels=256)(feats, train) if len(feats) > 1 else feats[0]
-        stages = SECOND(out_channels=self.decoder_channels)(fused, train)
-        bev = SECONDFPN(out_channels=(256, 256))(stages, train)
+        stages = SECOND(out_channels=self.decoder_channels,
+                        layer_nums=self.decoder_layer_nums)(fused, train)
+        bev = SECONDFPN(out_channels=self.neck_out_channels)(stages, train)
         preds = TransFusionHead(
-            num_classes=self.num_classes, num_proposals=self.num_proposals
+            num_classes=self.num_classes, num_proposals=self.num_proposals,
+            hidden_channel=self.hidden_channel, num_heads=self.num_heads,
+            ffn_channel=self.ffn_channel,
         )(bev, train)
         if self.with_map_seg:
             from .segm import BEVSegmentationHead

@@ -52,7 +52,8 @@ class PredFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):  # [B, P, C]
-        x = nn.Dense(self.head_conv, name="conv0")(x)
+        # ConvModule bias="auto" + BN1d norm -> conv bias False
+        x = nn.Dense(self.head_conv, use_bias=False, name="conv0")(x)
         x = BatchNorm2d(momentum=0.9, epsilon=1e-5, name="bn0")(x, train)
         x = nn.relu(x)
         return nn.Dense(
@@ -92,6 +93,7 @@ class TransFusionHead(nn.Module):
     num_proposals: int = 200
     hidden_channel: int = 128
     num_heads: int = 8
+    ffn_channel: int = 256
     code_size: int = 10  # x,y offset(2) + height(1) + dim(3) + rot(2) + vel(2)
     nms_kernel_size: int = 3
     dataset: str = "nuScenes"  # classes 8/9 skip the local-max NMS (ref :248-256)
@@ -123,8 +125,9 @@ class TransFusionHead(nn.Module):
         x = nn.Conv(d, (3, 3), padding=1, use_bias=True,
                     kernel_init=kaiming_conv_init(), name="shared_conv")(bev)
 
-        # dense heatmap (class-aware): ConvModule(d, d, 3) + Conv(d, nc, 3)
-        h = nn.Conv(d, (3, 3), padding=1, use_bias=True,
+        # dense heatmap (class-aware): ConvModule(d, d, 3, bias="auto" ->
+        # False before BN) + Conv(d, nc, 3, bias)
+        h = nn.Conv(d, (3, 3), padding=1, use_bias=False,
                     kernel_init=kaiming_conv_init(), name="heatmap_conv")(x)
         h = nn.relu(BatchNorm2d(name="heatmap_bn")(h, train))
         heatmap = nn.Conv(nc, (3, 3), padding=1, use_bias=True,
@@ -166,7 +169,7 @@ class TransFusionHead(nn.Module):
         q_pos = PositionEmbeddingLearned(d, name="self_posembed")(q_xy, train)
         kv_pos = PositionEmbeddingLearned(d, name="cross_posembed")(kv_xy, train)
 
-        q = DecoderLayer(d, self.num_heads, name="decoder0")(
+        q = DecoderLayer(d, self.num_heads, self.ffn_channel, name="decoder0")(
             q_feat, q_pos, feat_flat, kv_pos)
 
         # prediction FFNs (reference: center, height, dim, rot, vel, heatmap)

@@ -20,6 +20,9 @@ def main():
     p.add_argument("--resume_from", default=None)
     p.add_argument("--swin_init", default=None,
                    help="flax-param npz from tools/convert_swin.py (pretrained camera backbone)")
+    p.add_argument("--torch_init", default=None,
+                   help="npz from tools/convert_bevfusion.py: warm-start the "
+                        "whole model from a converted reference checkpoint")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     jax = setup_jax(force_cpu=args.cpu)
@@ -111,6 +114,17 @@ def main():
     elif args.load_from:
         state, _ = ckpt.load_checkpoint(args.load_from, state)
         logger.info(f"warm-started from {args.load_from}")
+    elif args.torch_init:
+        from dal3d_tpu.models.bevfusion.convert_bevfusion import (
+            apply_torch_init_bevfusion,
+        )
+
+        merged = apply_torch_init_bevfusion(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            args.torch_init, logger)
+        state = state.replace(params=merged["params"],
+                              batch_stats=merged["batch_stats"])
+        logger.info(f"warm-started from converted torch checkpoint {args.torch_init}")
     if args.swin_init:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from convert_swin import load_swin_npz
