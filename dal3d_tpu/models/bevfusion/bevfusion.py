@@ -23,7 +23,7 @@ from .second import SECOND, SECONDFPN, ConvFuser
 from .sparse_encoder import SparseEncoder
 from .swin import SwinTransformer
 from .transfusion import TransFusionHead
-from .vtransforms import DepthLSSTransform
+from .vtransforms import DepthLSSTransform, LSSTransform
 
 
 @DETECTORS.register_module
@@ -51,20 +51,27 @@ class BEVFusion(nn.Module):
     seg_classes: Tuple[str, ...] = ("drivable_area", "ped_crossing", "walkway",
                                     "stop_line", "carpark_area", "divider")
 
+    # camera-only mode (reference camera-only baseline configs): skip the
+    # lidar branch entirely; vtransform "lss" drops the lidar depth input
+    with_lidar: bool = True
+    vtransform: str = "depth_lss"  # "depth_lss" | "lss"
+
     @nn.compact
     def __call__(self, batch, train: bool = False):
         feats = []
+        lidar_bev = None
 
         # ---- lidar branch ----
-        cfg = self.voxel_cfg
-        vox = jax.vmap(lambda p, v: voxelize_mean_grid(p, v, cfg))(
-            batch["points"], batch["points_valid"]
-        )
-        sb = sp.from_voxels(vox["features"], vox["coordinates"], vox["voxel_valid"], cfg.sparse_shape)
-        lidar_bev = SparseEncoder(
-            encoder_channels=self.encoder_channels, voxel_caps=self.voxel_caps
-        )(sb, train)  # [B, H/8, W/8, 256]
-        feats.append(lidar_bev)
+        if self.with_lidar:
+            cfg = self.voxel_cfg
+            vox = jax.vmap(lambda p, v: voxelize_mean_grid(p, v, cfg))(
+                batch["points"], batch["points_valid"]
+            )
+            sb = sp.from_voxels(vox["features"], vox["coordinates"], vox["voxel_valid"], cfg.sparse_shape)
+            lidar_bev = SparseEncoder(
+                encoder_channels=self.encoder_channels, voxel_caps=self.voxel_caps
+            )(sb, train)  # [B, H/8, W/8, 256]
+            feats.append(lidar_bev)
 
         # ---- camera branch ----
         if self.with_camera and "images" in batch:
@@ -76,14 +83,7 @@ class BEVFusion(nn.Module):
             cam_feat = fpn[0]
             fH, fW = cam_feat.shape[1:3]
             cam_feat = cam_feat.reshape(B, N, fH, fW, -1)
-            cam_bev = DepthLSSTransform(
-                in_channels=256,
-                out_channels=self.camera_out_channels,
-                image_size=self.image_size,
-                feature_size=(fH, fW),
-            )(
-                cam_feat,
-                batch["depth_images"],
+            cam_args = (
                 batch["camera2lidar_rots"],
                 batch["camera2lidar_trans"],
                 batch["camera_intrinsics"],
@@ -91,14 +91,27 @@ class BEVFusion(nn.Module):
                 batch["img_aug_trans"],
                 train,
             )
+            if self.vtransform == "lss":
+                cam_bev = LSSTransform(
+                    in_channels=256, out_channels=self.camera_out_channels,
+                    image_size=self.image_size, feature_size=(fH, fW),
+                )(cam_feat, *cam_args)
+            else:
+                cam_bev = DepthLSSTransform(
+                    in_channels=256, out_channels=self.camera_out_channels,
+                    image_size=self.image_size, feature_size=(fH, fW),
+                )(cam_feat, batch["depth_images"], *cam_args)
             # align to the lidar BEV resolution
-            if cam_bev.shape[1:3] != lidar_bev.shape[1:3]:
+            if lidar_bev is not None and cam_bev.shape[1:3] != lidar_bev.shape[1:3]:
                 cam_bev = jax.image.resize(
                     cam_bev,
                     (cam_bev.shape[0], *lidar_bev.shape[1:3], cam_bev.shape[-1]),
                     method="bilinear",
                 )
             feats.insert(0, cam_bev)
+        if not feats:
+            raise ValueError("BEVFusion needs at least one enabled branch "
+                             "(with_lidar and/or with_camera + images)")
 
         fused = ConvFuser(out_channels=256)(feats, train) if len(feats) > 1 else feats[0]
         stages = SECOND(out_channels=self.decoder_channels,

@@ -140,3 +140,62 @@ class DepthLSSTransform(nn.Module):
             bev = nn.relu(BatchNorm2d()(nn.Conv(oc, (3, 3), padding=1, use_bias=False,
                                                 kernel_init=kaiming_conv_init())(bev), train))
         return bev
+
+
+class LSSTransform(nn.Module):
+    """Camera-only LSS view transform (reference vtransforms/lss.py:14-60):
+    no lidar depth branch — a single 1x1 depthnet predicts D depth bins + C
+    context channels from the image features alone; same frustum geometry,
+    bev_pool splat and optional stride-2 BEV downsample block."""
+
+    in_channels: int = 256
+    out_channels: int = 80
+    image_size: Tuple[int, int] = (256, 704)
+    feature_size: Tuple[int, int] = (32, 88)
+    xbound: Tuple[float, float, float] = (-54.0, 54.0, 0.3)
+    ybound: Tuple[float, float, float] = (-54.0, 54.0, 0.3)
+    zbound: Tuple[float, float, float] = (-10.0, 10.0, 20.0)
+    dbound: Tuple[float, float, float] = (1.0, 60.0, 0.5)
+    downsample: int = 2
+
+    @property
+    def D(self) -> int:
+        return len(np.arange(*self.dbound))
+
+    @nn.compact
+    def __call__(self, img_feats, camera2lidar_rots, camera2lidar_trans,
+                 intrins, post_rots, post_trans, train: bool = False):
+        """img_feats [B, N, fH, fW, C_in] -> BEV [B, ny, nx, out_channels]."""
+        B, N, fH, fW, Cin = img_feats.shape
+        D, C = self.D, self.out_channels
+
+        x = img_feats.reshape(B * N, fH, fW, Cin)
+        x = nn.Conv(D + C, (1, 1), kernel_init=kaiming_conv_init())(x)
+        depth = jax.nn.softmax(x[..., :D], axis=-1)
+        ctx = x[..., D:]
+        feats = depth[..., None] * ctx[..., None, :]
+        feats = feats.reshape(B, N, fH, fW, D, C).transpose(0, 1, 4, 2, 3, 5)
+
+        frustum = jnp.asarray(create_frustum(self.image_size, self.feature_size, self.dbound))
+        geom = get_geometry(frustum, camera2lidar_rots, camera2lidar_trans,
+                            intrins, post_rots, post_trans)
+
+        dx, bx, nx = gen_dx_bx(self.xbound, self.ybound, self.zbound)
+        coords = ((geom - (jnp.asarray(bx) - jnp.asarray(dx) / 2.0)) / jnp.asarray(dx))
+        coords = jnp.floor(coords).astype(jnp.int32)
+        Np = N * D * fH * fW
+        coords = coords.reshape(B, Np, 3)
+        feats = feats.reshape(B, Np, C)
+        valid = jnp.all((coords >= 0) & (coords < jnp.asarray(nx.astype(np.int32))), axis=-1)
+        bev = bev_pool_batched(feats, coords, valid, int(nx[0]), int(nx[1]), int(nx[2]))
+
+        if self.downsample > 1:
+            assert self.downsample == 2
+            oc = self.out_channels
+            bev = nn.relu(BatchNorm2d()(nn.Conv(oc, (3, 3), padding=1, use_bias=False,
+                                                kernel_init=kaiming_conv_init())(bev), train))
+            bev = nn.relu(BatchNorm2d()(nn.Conv(oc, (3, 3), strides=(2, 2), padding=1, use_bias=False,
+                                                kernel_init=kaiming_conv_init())(bev), train))
+            bev = nn.relu(BatchNorm2d()(nn.Conv(oc, (3, 3), padding=1, use_bias=False,
+                                                kernel_init=kaiming_conv_init())(bev), train))
+        return bev

@@ -172,3 +172,33 @@ def test_bevfusion_train_step(lidar_batch):
         losses.append(float(logs["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], f"no learning: {losses[0]:.3f} -> {losses[-1]:.3f}"
+
+
+def test_bevfusion_camera_only_forward():
+    """Camera-only mode (reference camera-only baseline): no lidar branch,
+    LSSTransform without the depth input."""
+    rng = np.random.RandomState(0)
+    B, N, iH, iW = 1, 2, 64, 64
+    intrins = np.tile(np.array([[50.0, 0, iW / 2], [0, 50.0, iH / 2], [0, 0, 1]],
+                               np.float32), (B, N, 1, 1))
+    batch = {
+        "images": jnp.asarray(rng.rand(B, N, iH, iW, 3).astype(np.float32)),
+        "camera2lidar_rots": jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))),
+        "camera2lidar_trans": jnp.zeros((B, N, 3), jnp.float32),
+        "camera_intrinsics": jnp.asarray(intrins),
+        "img_aug_rots": jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))),
+        "img_aug_trans": jnp.zeros((B, N, 3), jnp.float32),
+    }
+    model = BEVFusion(
+        voxel_cfg=VCFG, with_lidar=False, with_camera=True, vtransform="lss",
+        num_proposals=8, decoder_channels=(16, 32), decoder_layer_nums=(1, 1),
+        neck_out_channels=(16, 16), hidden_channel=16, num_heads=2,
+        ffn_channel=32, camera_out_channels=16, image_size=(iH, iW),
+    )
+    var = model.init(jax.random.PRNGKey(0), batch, False)
+    preds = model.apply(var, batch, False)
+    assert preds["cls_logits"].shape == (B, 8, 10)
+    assert np.isfinite(np.asarray(preds["heatmap"])).all()
+    # no lidar modules in the tree
+    assert "SparseEncoder_0" not in var["params"]
+    assert "ConvFuser_0" not in var["params"]
