@@ -55,6 +55,11 @@ class BEVFusion(nn.Module):
     # lidar branch entirely; vtransform "lss" drops the lidar depth input
     with_lidar: bool = True
     vtransform: str = "depth_lss"  # "depth_lss" | "lss"
+    # detection head family (reference heads/bbox registry): "transfusion"
+    # (query-based) or "centerpoint" (per-task dense center head; preds carry
+    # the per-task dict list under "center_preds")
+    head: str = "transfusion"
+    center_task_classes: Tuple[int, ...] = (1, 2, 2, 1, 2, 2)
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -117,11 +122,17 @@ class BEVFusion(nn.Module):
         stages = SECOND(out_channels=self.decoder_channels,
                         layer_nums=self.decoder_layer_nums)(fused, train)
         bev = SECONDFPN(out_channels=self.neck_out_channels)(stages, train)
-        preds = TransFusionHead(
-            num_classes=self.num_classes, num_proposals=self.num_proposals,
-            hidden_channel=self.hidden_channel, num_heads=self.num_heads,
-            ffn_channel=self.ffn_channel,
-        )(bev, train)
+        if self.head == "centerpoint":
+            from .centerpoint import CenterHead
+
+            preds = {"center_preds": CenterHead(
+                num_classes=self.center_task_classes)(bev, train)}
+        else:
+            preds = TransFusionHead(
+                num_classes=self.num_classes, num_proposals=self.num_proposals,
+                hidden_channel=self.hidden_channel, num_heads=self.num_heads,
+                ffn_channel=self.ffn_channel,
+            )(bev, train)
         if self.with_map_seg:
             from .segm import BEVSegmentationHead
 

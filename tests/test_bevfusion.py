@@ -202,3 +202,26 @@ def test_bevfusion_camera_only_forward():
     # no lidar modules in the tree
     assert "SparseEncoder_0" not in var["params"]
     assert "ConvFuser_0" not in var["params"]
+
+
+def test_bevfusion_centerpoint_head(lidar_batch):
+    """head="centerpoint" routes the BEV map through CenterHead (reference
+    centerhead configs) and decodes via center_head_decode."""
+    from dal3d_tpu.models.bevfusion.centerpoint import (
+        CenterTestCfg, center_head_decode, center_head_loss,
+    )
+
+    batch, gt, cls = lidar_batch
+    model = BEVFusion(
+        voxel_cfg=VCFG, with_camera=False, head="centerpoint",
+        center_task_classes=(1, 2), decoder_channels=(16, 32),
+        decoder_layer_nums=(1, 1), neck_out_channels=(16, 16),
+        voxel_caps=(2000, 1000, 500, 500),
+    )
+    var = model.init(jax.random.PRNGKey(0), batch, False)
+    preds = model.apply(var, batch, False)
+    assert len(preds["center_preds"]) == 2
+    ccfg = CenterTestCfg(out_size_factor=8, voxel_size=(0.25, 0.25),
+                         pc_range=(-8.0, -8.0), max_per_task=10)
+    dets = center_head_decode(preds["center_preds"], ccfg)
+    assert np.isfinite(np.asarray(dets["box3d_lidar"])).all()
