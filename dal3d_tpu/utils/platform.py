@@ -25,24 +25,19 @@ def setup_jax(
 
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
+    if force_cpu:
+        # no persistent cache on forced-CPU runs: XLA:CPU AOT entries carry
+        # compile-preference pseudo-features (prefer-no-gather/scatter) the
+        # host prober never reports, so every cache HIT logs a spurious
+        # machine-mismatch/SIGILL warning (VERDICT r2; an upstream cosmetic
+        # bug — the per-feature namespace tried first couldn't silence it).
+        # CPU compiles here are seconds; the cache only pays off on TPU,
+        # where e.g. the 196k top_k costs ~190 s to compile (ROADMAP.md).
+        jax.config.update("jax_enable_compilation_cache", False)
+        return jax
     cache = cache_dir or os.environ.get(
         "DAL3D_JAX_CACHE", os.path.expanduser("~/.cache/dal3d_jax")
     )
-    if force_cpu:
-        # separate cache namespace keyed by THIS host's CPU features: CPU
-        # executables AOT-compiled on a machine with a different feature set
-        # spam machine-mismatch/SIGILL warnings when loaded here (VERDICT
-        # r2); a per-feature-set directory means such artifacts are never
-        # picked up.
-        import hashlib
-
-        try:
-            with open("/proc/cpuinfo") as f:
-                flags = next(l for l in f if l.startswith("flags"))
-            sig = hashlib.sha1(flags.encode()).hexdigest()[:8]
-        except Exception:
-            sig = "generic"
-        cache = f"{cache}-cpu-{sig}"
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
