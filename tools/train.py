@@ -116,12 +116,29 @@ def main():
     )
 
     mesh = make_mesh(n_model=args.n_model) if jax.device_count() > 1 else None
-    trainer = Trainer(
-        bundle, optimizer, cfg.work_dir, mesh=mesh, one_cycle_cfg=one_cycle,
-        logger=logger,
+    trainer_kw = dict(
+        mesh=mesh, one_cycle_cfg=one_cycle, logger=logger,
         log_interval=cfg.get("log_config", {}).get("interval", 5),
         checkpoint_interval=cfg.get("checkpoint_config", {}).get("interval", 1),
     )
+    est_cfg = cfg.get("estimator")
+    if est_cfg:
+        # dual-model partial-label pipeline (reference torchie/apis/
+        # active_train.py:252: detector + box-quality Estimator co-training)
+        import optax
+
+        from dal3d_tpu.models.detectors.estimator import Estimator
+        from dal3d_tpu.runtime.active_trainer import ActiveTrainer
+
+        est_kw = {k: v for k, v in dict(est_cfg).items() if k != "type"}
+        estimator = Estimator(**{k: tuple(v) if isinstance(v, list) else v
+                                 for k, v in est_kw.items()})
+        est_opt = optax.adam(float(cfg.get("estimator_lr", 1e-3)))
+        trainer = ActiveTrainer(bundle, optimizer, estimator, est_opt,
+                                cfg.work_dir, **trainer_kw)
+        logger.info("ActiveTrainer: detector + estimator co-training")
+    else:
+        trainer = Trainer(bundle, optimizer, cfg.work_dir, **trainer_kw)
 
     def loader_fn(epoch):
         return DataLoader(dataset, batch_size, shuffle=True, seed=epoch)
@@ -130,6 +147,8 @@ def main():
     import jax.random as jrandom
 
     trainer.init_state(jrandom.PRNGKey(args.seed or 0), sample_batch)
+    if est_cfg:
+        trainer.init_estimator(jrandom.PRNGKey((args.seed or 0) + 1), sample_batch)
     if args.resume_from:
         # value may be a checkpoint dir; bare flags/other strings fall back
         # to resuming from work_dir
@@ -178,6 +197,17 @@ def main():
             return result
 
     trainer.run(loader_fn, total_epochs, val_fn=val_fn, val_interval=val_interval)
+    if est_cfg and getattr(trainer, "est_state", None) is not None:
+        # separate estimator checkpoint (reference ActiveTrainer keeps its
+        # own save path); flat npz, loaded by the partial-label selectors
+        import numpy as np
+
+        from dal3d_tpu.models.convert_second import flatten_tree
+
+        est_path = os.path.join(cfg.work_dir, "estimator.npz")
+        np.savez(est_path, **{k: np.asarray(v) for k, v in flatten_tree(
+            jax.device_get(trainer.est_state.params)).items()})
+        logger.info(f"saved estimator params -> {est_path}")
     logger.info("training done")
 
 
