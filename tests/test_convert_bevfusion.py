@@ -352,3 +352,180 @@ def test_converted_bevfusion_matches_torch_reference():
         np.testing.assert_allclose(
             np.asarray(preds[ours_key])[0], head_ref[branch][0].numpy(),
             rtol=5e-4, atol=5e-4, err_msg=branch)
+
+
+@pytest.mark.slow
+def test_camera_lidar_converted_tree_matches_init():
+    """Structural parity for the FULL camera+lidar checkpoint: a fake torch
+    BEVFusion state_dict at the reference's default dims converts to exactly
+    the key set + shapes of a fresh init (ordering bugs in the LSS-FPN
+    lateral/vtransform/fuser mappings surface as shape mismatches; Swin
+    numerics are oracle-tested separately in test_swin_convert.py)."""
+    rng = np.random.RandomState(0)
+
+    def r(*shape):
+        return rng.randn(*shape).astype(np.float32) * 0.02
+
+    sd = {}
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = np.ones(c, np.float32)
+        sd[f"{name}.bias"] = np.zeros(c, np.float32)
+        sd[f"{name}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"{name}.running_var"] = np.ones(c, np.float32)
+
+    # ---- swin-T under encoders.camera.backbone ---------------------------
+    sb = "encoders.camera.backbone"
+    C0, depths, heads, win = 96, (2, 2, 6, 2), (3, 6, 12, 24), 7
+    sd[f"{sb}.patch_embed.proj.weight"] = r(C0, 3, 4, 4)
+    sd[f"{sb}.patch_embed.proj.bias"] = r(C0)
+    sd[f"{sb}.patch_embed.norm.weight"] = r(C0)
+    sd[f"{sb}.patch_embed.norm.bias"] = r(C0)
+    for i, d in enumerate(depths):
+        C = C0 * 2 ** i
+        for j in range(d):
+            t = f"{sb}.layers.{i}.blocks.{j}"
+            for nm in ("norm1", "norm2"):
+                sd[f"{t}.{nm}.weight"] = r(C)
+                sd[f"{t}.{nm}.bias"] = r(C)
+            sd[f"{t}.attn.qkv.weight"] = r(3 * C, C)
+            sd[f"{t}.attn.qkv.bias"] = r(3 * C)
+            sd[f"{t}.attn.relative_position_bias_table"] = r((2 * win - 1) ** 2, heads[i])
+            sd[f"{t}.attn.proj.weight"] = r(C, C)
+            sd[f"{t}.attn.proj.bias"] = r(C)
+            sd[f"{t}.mlp.fc1.weight"] = r(4 * C, C)
+            sd[f"{t}.mlp.fc1.bias"] = r(4 * C)
+            sd[f"{t}.mlp.fc2.weight"] = r(C, 4 * C)
+            sd[f"{t}.mlp.fc2.bias"] = r(C)
+        if i < 3:
+            sd[f"{sb}.layers.{i}.downsample.norm.weight"] = r(4 * C)
+            sd[f"{sb}.layers.{i}.downsample.norm.bias"] = r(4 * C)
+            sd[f"{sb}.layers.{i}.downsample.reduction.weight"] = r(2 * C, 4 * C)
+    for i in (1, 2, 3):
+        sd[f"{sb}.norm{i}.weight"] = r(C0 * 2 ** i)
+        sd[f"{sb}.norm{i}.bias"] = r(C0 * 2 ** i)
+
+    # ---- camera neck (GeneralizedLSSFPN, ins [192,384,768], out 256) -----
+    nk = "encoders.camera.neck"
+    ins = (192, 384, 768)
+    for lvl, cin in ((0, ins[0] + 256), (1, ins[1] + ins[2])):
+        sd[f"{nk}.lateral_convs.{lvl}.conv.weight"] = r(256, cin, 1, 1)
+        bn(f"{nk}.lateral_convs.{lvl}.bn", 256)
+        sd[f"{nk}.fpn_convs.{lvl}.conv.weight"] = r(256, 256, 3, 3)
+        bn(f"{nk}.fpn_convs.{lvl}.bn", 256)
+
+    # ---- vtransform (DepthLSSTransform, in 256, out 80, D=118) -----------
+    vt = "encoders.camera.vtransform"
+    D = len(np.arange(1.0, 60.0, 0.5))
+    for t, (ci, co, k) in zip((0, 3, 6), ((1, 8, 1), (8, 32, 5), (32, 64, 5))):
+        sd[f"{vt}.dtransform.{t}.weight"] = r(co, ci, k, k)
+        sd[f"{vt}.dtransform.{t}.bias"] = r(co)
+        bn(f"{vt}.dtransform.{t + 1}", co)
+    for t, (ci, co) in zip((0, 3), ((256 + 64, 256), (256, 256))):
+        sd[f"{vt}.depthnet.{t}.weight"] = r(co, ci, 3, 3)
+        sd[f"{vt}.depthnet.{t}.bias"] = r(co)
+        bn(f"{vt}.depthnet.{t + 1}", co)
+    sd[f"{vt}.depthnet.6.weight"] = r(D + 80, 256, 1, 1)
+    sd[f"{vt}.depthnet.6.bias"] = r(D + 80)
+    for t in (0, 3, 6):
+        sd[f"{vt}.downsample.{t}.weight"] = r(80, 80, 3, 3)
+        bn(f"{vt}.downsample.{t + 1}", 80)
+
+    # ---- fuser + lidar + decoder + head at reference defaults ------------
+    sd["fuser.0.weight"] = r(256, 80 + 256, 3, 3)
+    bn("fuser.1", 256)
+    eb = "encoders.lidar.backbone"
+    ENC_FULL = ((16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128))
+    sd[f"{eb}.conv_input.0.weight"] = r(3, 3, 3, 5, 16)
+    bn(f"{eb}.conv_input.1", 16)
+    for i, chans in enumerate(ENC_FULL):
+        layer = f"{eb}.encoder_layers.encoder_layer{i + 1}"
+        c = chans[0]
+        for j in (0, 1):
+            sd[f"{layer}.{j}.conv1.weight"] = r(3, 3, 3, c, c)
+            bn(f"{layer}.{j}.bn1", c)
+            sd[f"{layer}.{j}.conv2.weight"] = r(3, 3, 3, c, c)
+            bn(f"{layer}.{j}.bn2", c)
+        if i < 3:
+            sd[f"{layer}.2.0.weight"] = r(3, 3, 3, c, chans[-1])
+            bn(f"{layer}.2.1", chans[-1])
+    sd[f"{eb}.conv_out.0.weight"] = r(1, 1, 3, 128, 128)
+    bn(f"{eb}.conv_out.1", 128)
+    cin = 256
+    for b, co in enumerate((128, 256)):
+        for j in range(6):  # 1 lead + 5 layer convs (layer_nums (5,5))
+            sd[f"decoder.backbone.blocks.{b}.{3 * j}.weight"] = r(co, cin if j == 0 else co, 3, 3)
+            bn(f"decoder.backbone.blocks.{b}.{3 * j + 1}", co)
+        cin = co
+    sd["decoder.neck.deblocks.0.0.weight"] = r(256, 128, 1, 1)
+    bn("decoder.neck.deblocks.0.1", 256)
+    sd["decoder.neck.deblocks.1.0.weight"] = r(256, 256, 2, 2)
+    bn("decoder.neck.deblocks.1.1", 256)
+    hd = "heads.object"
+    sd[f"{hd}.shared_conv.weight"] = r(128, 512, 3, 3)
+    sd[f"{hd}.shared_conv.bias"] = r(128)
+    sd[f"{hd}.heatmap_head.0.conv.weight"] = r(128, 128, 3, 3)
+    bn(f"{hd}.heatmap_head.0.bn", 128)
+    sd[f"{hd}.heatmap_head.1.weight"] = r(10, 128, 3, 3)
+    sd[f"{hd}.heatmap_head.1.bias"] = r(10)
+    sd[f"{hd}.class_encoding.weight"] = r(128, 10, 1)
+    sd[f"{hd}.class_encoding.bias"] = r(128)
+    for pe in ("self_posembed", "cross_posembed"):
+        p0 = f"{hd}.decoder.0.{pe}.position_embedding_head"
+        sd[f"{p0}.0.weight"] = r(128, 2, 1)
+        sd[f"{p0}.0.bias"] = r(128)
+        bn(f"{p0}.1", 128)
+        sd[f"{p0}.3.weight"] = r(128, 128, 1)
+        sd[f"{p0}.3.bias"] = r(128)
+    dl = f"{hd}.decoder.0"
+    for att in ("self_attn", "multihead_attn"):
+        sd[f"{dl}.{att}.in_proj_weight"] = r(3 * 128, 128)
+        sd[f"{dl}.{att}.in_proj_bias"] = r(3 * 128)
+        sd[f"{dl}.{att}.out_proj.weight"] = r(128, 128)
+        sd[f"{dl}.{att}.out_proj.bias"] = r(128)
+    sd[f"{dl}.linear1.weight"] = r(256, 128)
+    sd[f"{dl}.linear1.bias"] = r(256)
+    sd[f"{dl}.linear2.weight"] = r(128, 256)
+    sd[f"{dl}.linear2.bias"] = r(128)
+    for i in (1, 2, 3):
+        sd[f"{dl}.norm{i}.weight"] = r(128)
+        sd[f"{dl}.norm{i}.bias"] = r(128)
+    for branch, out in (("center", 2), ("height", 1), ("dim", 3), ("rot", 2),
+                        ("vel", 2), ("heatmap", 10)):
+        pb = f"{hd}.prediction_heads.0.{branch}"
+        sd[f"{pb}.0.conv.weight"] = r(64, 128, 1)
+        bn(f"{pb}.0.bn", 64)
+        sd[f"{pb}.1.weight"] = r(out, 64, 1)
+        sd[f"{pb}.1.bias"] = r(out)
+
+    params, stats = convert_bevfusion_state_dict(sd)
+
+    vcfg = VoxelConfig(point_cloud_range=(-8.0, -8.0, -3.0, 8.0, 8.0, 1.0),
+                       voxel_size=(0.25, 0.25, 0.1), max_points_in_voxel=5,
+                       max_voxel_num=2000)
+    model = BEVFusion(voxel_cfg=vcfg, with_camera=True, image_size=(64, 176),
+                      voxel_caps=(2000, 1000, 500, 500))
+    B, N, iH, iW = 1, 1, 64, 176
+    rngs = np.random.RandomState(1)
+    batch = {
+        "points": jnp.asarray(rngs.uniform(-8, 8, (B, 512, 5)).astype(np.float32)),
+        "points_valid": jnp.ones((B, 512), bool),
+        "images": jnp.zeros((B, N, iH, iW, 3), jnp.float32),
+        "depth_images": jnp.zeros((B, N, iH, iW, 1), jnp.float32),
+        "camera2lidar_rots": jnp.tile(jnp.eye(3, dtype=jnp.float32), (B, N, 1, 1)),
+        "camera2lidar_trans": jnp.zeros((B, N, 3), jnp.float32),
+        "camera_intrinsics": jnp.tile(
+            jnp.asarray([[50.0, 0, 88], [0, 50.0, 32], [0, 0, 1]], jnp.float32),
+            (B, N, 1, 1)),
+        "img_aug_rots": jnp.tile(jnp.eye(3, dtype=jnp.float32), (B, N, 1, 1)),
+        "img_aug_trans": jnp.zeros((B, N, 3), jnp.float32),
+    }
+    init_vars = model.init(jax.random.PRNGKey(0), batch, False)
+    got_p, ref_p = flatten_tree(params), flatten_tree(init_vars["params"])
+    got_s, ref_s = flatten_tree(stats), flatten_tree(init_vars["batch_stats"])
+    assert sorted(got_p) == sorted(ref_p)
+    assert sorted(got_s) == sorted(ref_s)
+    for k in ref_p:
+        assert got_p[k].shape == tuple(ref_p[k].shape), k
+    for k in ref_s:
+        assert got_s[k].shape == tuple(ref_s[k].shape), k
