@@ -101,11 +101,14 @@ class BEVFusion(nn.Module):
                     in_channels=256, out_channels=self.camera_out_channels,
                     image_size=self.image_size, feature_size=(fH, fW),
                 )(cam_feat, *cam_args)
-            else:
+            elif self.vtransform == "depth_lss":
                 cam_bev = DepthLSSTransform(
                     in_channels=256, out_channels=self.camera_out_channels,
                     image_size=self.image_size, feature_size=(fH, fW),
                 )(cam_feat, batch["depth_images"], *cam_args)
+            else:
+                raise ValueError(f"unknown vtransform {self.vtransform!r} "
+                                 "(expected 'depth_lss' or 'lss')")
             # align to the lidar BEV resolution
             if lidar_bev is not None and cam_bev.shape[1:3] != lidar_bev.shape[1:3]:
                 cam_bev = jax.image.resize(
@@ -127,6 +130,9 @@ class BEVFusion(nn.Module):
 
             preds = {"center_preds": CenterHead(
                 num_classes=self.center_task_classes)(bev, train)}
+        elif self.head != "transfusion":
+            raise ValueError(f"unknown head {self.head!r} "
+                             "(expected 'transfusion' or 'centerpoint')")
         else:
             preds = TransFusionHead(
                 num_classes=self.num_classes, num_proposals=self.num_proposals,

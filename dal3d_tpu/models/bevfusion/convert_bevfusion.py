@@ -290,18 +290,19 @@ def convert_bevfusion_state_dict(
     return unflatten_tree(c.params), unflatten_tree(c.stats)
 
 
-def load_torch_bevfusion_npz(path: str):
+def load_torch_bevfusion_npz(path: str, num_heads: int = 8):
     """Load an npz written by tools/convert_bevfusion.py (raw state_dict with
     '.' escaped) -> (params, batch_stats)."""
     flat = dict(np.load(path))
     sd = {k.replace("__dot__", "."): v for k, v in flat.items()}
-    return convert_bevfusion_state_dict(sd)
+    return convert_bevfusion_state_dict(sd, num_heads=num_heads)
 
 
-def apply_torch_init_bevfusion(variables: dict, npz_path: str, logger=None) -> dict:
+def apply_torch_init_bevfusion(variables: dict, npz_path: str, logger=None,
+                               num_heads: int = 8) -> dict:
     """Overwrite matching leaves of an init variables dict with the converted
     checkpoint (shape-checked); unknown converted keys raise."""
-    params, stats = load_torch_bevfusion_npz(npz_path)
+    params, stats = load_torch_bevfusion_npz(npz_path, num_heads=num_heads)
 
     def merge(dst, src, what):
         d, s = flatten_tree(dst), flatten_tree(src)

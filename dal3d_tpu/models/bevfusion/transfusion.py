@@ -129,7 +129,10 @@ class TransFusionHead(nn.Module):
         # False before BN) + Conv(d, nc, 3, bias)
         h = nn.Conv(d, (3, 3), padding=1, use_bias=False,
                     kernel_init=kaiming_conv_init(), name="heatmap_conv")(x)
-        h = nn.relu(BatchNorm2d(name="heatmap_bn")(h, train))
+        # ConvModule's BN2d is a torch-default BatchNorm2d (eps 1e-5,
+        # momentum 0.1 -> flax 0.9), like every other BN in this head
+        h = nn.relu(BatchNorm2d(momentum=0.9, epsilon=1e-5,
+                                name="heatmap_bn")(h, train))
         heatmap = nn.Conv(nc, (3, 3), padding=1, use_bias=True,
                           kernel_init=kaiming_conv_init(), name="heatmap_out")(h)
 

@@ -72,6 +72,37 @@ def get_geometry(
     return points
 
 
+def _splat(feats, cam_geom_args, image_size, feature_size, dbound,
+           xbound, ybound, zbound):
+    """Depth-weighted frustum features [B,N,D,fH,fW,C] -> BEV [B,ny,nx,C*nz]
+    via the frustum geometry + scatter-add bev_pool (shared by both LSS
+    transforms; reference base.py:128-158)."""
+    B, N = feats.shape[:2]
+    C = feats.shape[-1]
+    frustum = jnp.asarray(create_frustum(image_size, feature_size, dbound))
+    geom = get_geometry(frustum, *cam_geom_args)  # [B,N,D,fH,fW,3]
+    dx, bx, nx = gen_dx_bx(xbound, ybound, zbound)
+    coords = (geom - (jnp.asarray(bx) - jnp.asarray(dx) / 2.0)) / jnp.asarray(dx)
+    coords = jnp.floor(coords).astype(jnp.int32)
+    Np = int(np.prod(feats.shape[1:-1]))
+    coords = coords.reshape(B, Np, 3)
+    feats = feats.reshape(B, Np, C)
+    valid = jnp.all((coords >= 0) & (coords < jnp.asarray(nx.astype(np.int32))), axis=-1)
+    return bev_pool_batched(feats, coords, valid, int(nx[0]), int(nx[1]), int(nx[2]))
+
+
+def _bev_downsample2x(bev, oc, train):
+    """Stride-2 BEV downsample block (3 bias-free convs + BN + ReLU; must be
+    called from inside a module's compact scope — submodule creation order
+    defines the Conv_/BatchNorm2d_ names the checkpoint converter targets)."""
+    bev = nn.relu(BatchNorm2d()(nn.Conv(oc, (3, 3), padding=1, use_bias=False,
+                                        kernel_init=kaiming_conv_init())(bev), train))
+    bev = nn.relu(BatchNorm2d()(nn.Conv(oc, (3, 3), strides=(2, 2), padding=1, use_bias=False,
+                                        kernel_init=kaiming_conv_init())(bev), train))
+    return nn.relu(BatchNorm2d()(nn.Conv(oc, (3, 3), padding=1, use_bias=False,
+                                         kernel_init=kaiming_conv_init())(bev), train))
+
+
 class DepthLSSTransform(nn.Module):
     in_channels: int = 256
     out_channels: int = 80
@@ -115,30 +146,15 @@ class DepthLSSTransform(nn.Module):
         feats = depth[..., None] * ctx[..., None, :]  # [B*N, fH, fW, D, C]
         feats = feats.reshape(B, N, fH, fW, D, C).transpose(0, 1, 4, 2, 3, 5)  # [B,N,D,fH,fW,C]
 
-        frustum = jnp.asarray(create_frustum(self.image_size, self.feature_size, self.dbound))
-        geom = get_geometry(frustum, camera2lidar_rots, camera2lidar_trans,
-                            intrins, post_rots, post_trans)  # [B,N,D,fH,fW,3]
-
-        dx, bx, nx = gen_dx_bx(self.xbound, self.ybound, self.zbound)
-        coords = ((geom - (jnp.asarray(bx) - jnp.asarray(dx) / 2.0)) / jnp.asarray(dx))
-        coords = jnp.floor(coords).astype(jnp.int32)
-        Np = N * D * fH * fW
-        coords = coords.reshape(B, Np, 3)
-        feats = feats.reshape(B, Np, C)
-        valid = jnp.all((coords >= 0) & (coords < jnp.asarray(nx.astype(np.int32))), axis=-1)
-
-        bev = bev_pool_batched(feats, coords, valid, int(nx[0]), int(nx[1]), int(nx[2]))
+        bev = _splat(feats,
+                     (camera2lidar_rots, camera2lidar_trans, intrins, post_rots, post_trans),
+                     self.image_size, self.feature_size, self.dbound,
+                     self.xbound, self.ybound, self.zbound)
         # [B, ny, nx, C*nz]; nz=1 for the standard config
 
         if self.downsample > 1:
             assert self.downsample == 2
-            oc = self.out_channels
-            bev = nn.relu(BatchNorm2d()(nn.Conv(oc, (3, 3), padding=1, use_bias=False,
-                                                kernel_init=kaiming_conv_init())(bev), train))
-            bev = nn.relu(BatchNorm2d()(nn.Conv(oc, (3, 3), strides=(2, 2), padding=1, use_bias=False,
-                                                kernel_init=kaiming_conv_init())(bev), train))
-            bev = nn.relu(BatchNorm2d()(nn.Conv(oc, (3, 3), padding=1, use_bias=False,
-                                                kernel_init=kaiming_conv_init())(bev), train))
+            bev = _bev_downsample2x(bev, self.out_channels, train)
         return bev
 
 
@@ -176,26 +192,12 @@ class LSSTransform(nn.Module):
         feats = depth[..., None] * ctx[..., None, :]
         feats = feats.reshape(B, N, fH, fW, D, C).transpose(0, 1, 4, 2, 3, 5)
 
-        frustum = jnp.asarray(create_frustum(self.image_size, self.feature_size, self.dbound))
-        geom = get_geometry(frustum, camera2lidar_rots, camera2lidar_trans,
-                            intrins, post_rots, post_trans)
-
-        dx, bx, nx = gen_dx_bx(self.xbound, self.ybound, self.zbound)
-        coords = ((geom - (jnp.asarray(bx) - jnp.asarray(dx) / 2.0)) / jnp.asarray(dx))
-        coords = jnp.floor(coords).astype(jnp.int32)
-        Np = N * D * fH * fW
-        coords = coords.reshape(B, Np, 3)
-        feats = feats.reshape(B, Np, C)
-        valid = jnp.all((coords >= 0) & (coords < jnp.asarray(nx.astype(np.int32))), axis=-1)
-        bev = bev_pool_batched(feats, coords, valid, int(nx[0]), int(nx[1]), int(nx[2]))
+        bev = _splat(feats,
+                     (camera2lidar_rots, camera2lidar_trans, intrins, post_rots, post_trans),
+                     self.image_size, self.feature_size, self.dbound,
+                     self.xbound, self.ybound, self.zbound)
 
         if self.downsample > 1:
             assert self.downsample == 2
-            oc = self.out_channels
-            bev = nn.relu(BatchNorm2d()(nn.Conv(oc, (3, 3), padding=1, use_bias=False,
-                                                kernel_init=kaiming_conv_init())(bev), train))
-            bev = nn.relu(BatchNorm2d()(nn.Conv(oc, (3, 3), strides=(2, 2), padding=1, use_bias=False,
-                                                kernel_init=kaiming_conv_init())(bev), train))
-            bev = nn.relu(BatchNorm2d()(nn.Conv(oc, (3, 3), padding=1, use_bias=False,
-                                                kernel_init=kaiming_conv_init())(bev), train))
+            bev = _bev_downsample2x(bev, self.out_channels, train)
         return bev

@@ -240,7 +240,9 @@ def _t_head(sd, bev):
     x = F.conv2d(bev, torch.as_tensor(sd[f"{hd}.shared_conv.weight"]),
                  torch.as_tensor(sd[f"{hd}.shared_conv.bias"]), padding=1)
     h = F.conv2d(x, torch.as_tensor(sd[f"{hd}.heatmap_head.0.conv.weight"]), None, padding=1)
-    h = F.relu(_t_bn(h, sd, f"{hd}.heatmap_head.0.bn"))
+    # ConvModule BN2d = torch-default eps 1e-5 (unlike the mmdet3d
+    # norm_cfg eps-1e-3 BNs elsewhere)
+    h = F.relu(_t_bn1d_torcheps(h, sd, f"{hd}.heatmap_head.0.bn"))
     heat = F.conv2d(h, torch.as_tensor(sd[f"{hd}.heatmap_head.1.weight"]),
                     torch.as_tensor(sd[f"{hd}.heatmap_head.1.bias"]), padding=1)
     _, _, X, Y = heat.shape
