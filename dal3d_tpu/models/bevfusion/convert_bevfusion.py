@@ -293,9 +293,10 @@ def convert_bevfusion_state_dict(
 def load_torch_bevfusion_npz(path: str, num_heads: int = 8):
     """Load an npz written by tools/convert_bevfusion.py (raw state_dict with
     '.' escaped) -> (params, batch_stats)."""
-    flat = dict(np.load(path))
-    sd = {k.replace("__dot__", "."): v for k, v in flat.items()}
-    return convert_bevfusion_state_dict(sd, num_heads=num_heads)
+    from ..convert_second import load_raw_state_dict_npz
+
+    return convert_bevfusion_state_dict(load_raw_state_dict_npz(path),
+                                        num_heads=num_heads)
 
 
 def apply_torch_init_bevfusion(variables: dict, npz_path: str, logger=None,

@@ -136,3 +136,17 @@ def build_detector(cfg, train_cfg=None, test_cfg=None) -> DetectorBundle:
         class_names=class_names,
         max_points=int(cfg.get("max_points", 300000)),
     )
+
+
+def eval_test_cfg(cfg, logger=None) -> dict:
+    """Metric-eval test_cfg: default to the EXACT top-k prefilter so reported
+    mAP is reproducible against the reference decode; production/bench
+    configs opt back into approx_max_k (~0.95 recall) explicitly (ADVICE r2).
+    Shared by tools/test.py and tools/dist_test.py."""
+    tcfg = dict(cfg.get("test_cfg", {}) or {})
+    nms = dict(tcfg.get("nms", {}))
+    nms.setdefault("use_approx_topk", False)
+    tcfg["nms"] = nms
+    if logger is not None:
+        logger.info(f"top-k prefilter: {'approx' if nms['use_approx_topk'] else 'exact'}")
+    return tcfg

@@ -244,11 +244,8 @@ def load_torch_detector_npz(path: str, nested_l0: bool = True):
 
     The npz stores the RAW torch state_dict (key '/' replaced by '.') so one
     file serves both engine layouts; conversion happens at load."""
-    import numpy as _np
-
-    flat = dict(_np.load(path))
-    sd = {k.replace("__dot__", "."): v for k, v in flat.items()}
-    return convert_second_state_dict(sd, nested_l0=nested_l0)
+    return convert_second_state_dict(load_raw_state_dict_npz(path),
+                                     nested_l0=nested_l0)
 
 
 def apply_torch_init(state, npz_path: str, backbone_impl: str, logger=None):
@@ -281,3 +278,18 @@ def apply_torch_init(state, npz_path: str, backbone_impl: str, logger=None):
         params=merge(state.params, params, "params"),
         batch_stats=merge(state.batch_stats, stats, "batch_stats"),
     )
+
+
+def count_leaves(tree: dict) -> int:
+    return len(flatten_tree(tree))
+
+
+def save_raw_state_dict_npz(sd: Dict[str, np.ndarray], path: str) -> None:
+    """Write a RAW torch state_dict as npz ('.' escaped — npz keys may not
+    contain dots); the paired loaders un-escape at load time."""
+    np.savez(path, **{k.replace(".", "__dot__"): v for k, v in sd.items()})
+
+
+def load_raw_state_dict_npz(path: str) -> Dict[str, np.ndarray]:
+    flat = dict(np.load(path))
+    return {k.replace("__dot__", "."): v for k, v in flat.items()}

@@ -152,6 +152,10 @@ def make_band_plan(idx: jnp.ndarray, hit: jnp.ndarray, Mb: int,
     """
     B, Q, M = idx.shape
     assert M % bm == 0, (M, bm)
+    # the dw kernel's widened-window clamp floors group starts to
+    # (Mb - max_band) & ~15; an unaligned Mb would silently drop the top
+    # Mb % 16 in-band rows from the weight-gradient accumulation
+    assert Mb % 16 == 0, f"banded table capacity Mb={Mb} must be 16-aligned"
     if groups is None:
         assert band is not None
         groups = (tuple(range(Q)),)

@@ -72,20 +72,37 @@ def data_parallel_predict(predict, mesh: Optional[Mesh]):
     equivalent of the reference's DDP-sharded pool pass
     (tools/active_select.py:124-130, tools/dist_test.py:131-160).
 
-    Params/batch-stats are replicated once (memoized by identity); every
-    batch is placed batch-sharded, so jit compiles the step as SPMD over the
-    mesh with no per-call resharding."""
+    Params/batch-stats are replicated once (memoized by object identity —
+    the cache holds strong references to the key objects, so their ids
+    cannot be recycled into a stale hit); every batch is placed
+    batch-sharded, so jit compiles the step as SPMD over the mesh with no
+    per-call resharding."""
     if mesh is None:
         return predict
     rep, bsh = replicate_sharding(mesh), batch_sharding(mesh)
     cache: dict = {}
 
     def wrapped(params, batch_stats, batch):
-        if cache.get("key") != (id(params), id(batch_stats)):
-            cache["key"] = (id(params), id(batch_stats))
+        if cache.get("p_obj") is not params or cache.get("bs_obj") is not batch_stats:
+            cache["p_obj"], cache["bs_obj"] = params, batch_stats
             cache["params"] = jax.device_put(params, rep)
             cache["bs"] = jax.device_put(batch_stats, rep)
         batch = jax.tree_util.tree_map(lambda x: jax.device_put(x, bsh), batch)
         return predict(cache["params"], cache["bs"], batch)
 
     return wrapped
+
+
+def sharded_eval_predict(bundle, logger=None, what: str = "eval"):
+    """Mesh-sharded predict step for the eval/pool-scoring CLIs: builds the
+    device mesh when >1 device is visible and wraps the bundle's jitted
+    predict with data_parallel_predict (shared by tools/test.py,
+    tools/dist_test.py and tools/active_select.py)."""
+    import jax
+
+    from ..runtime.steps import make_predict_step
+
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    if mesh is not None and logger is not None:
+        logger.info(f"{what} sharded over mesh {mesh.shape}")
+    return data_parallel_predict(make_predict_step(bundle), mesh), mesh

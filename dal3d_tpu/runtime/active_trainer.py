@@ -104,8 +104,20 @@ class ActiveTrainer(Trainer):
         stats = None
         for batch in loader:
             b = {k: v for k, v in batch.items() if k != "metadata"}
-            self.state, logs = self.train_step(self.state, b)
-            self.est_state, est_logs = self.estimator_step(self.est_state, self.state, b)
+            if self.mesh is not None:
+                # mirror Trainer.train_epoch: shard the batch over 'data' and
+                # set the ambient mesh so bev_constraint sees the model axis
+                from ..parallel.mesh import shard_batch
+
+                b = shard_batch(b, self.mesh)
+                with jax.set_mesh(self.mesh):
+                    self.state, logs = self.train_step(self.state, b)
+                    self.est_state, est_logs = self.estimator_step(
+                        self.est_state, self.state, b)
+            else:
+                self.state, logs = self.train_step(self.state, b)
+                self.est_state, est_logs = self.estimator_step(
+                    self.est_state, self.state, b)
             stats = {**{k: float(v) for k, v in logs.items()},
                      "estimator_loss": float(est_logs["estimator_loss"])}
         self.epoch += 1

@@ -86,7 +86,7 @@ def main():
         from dal3d_tpu.data import DataLoader, NuScenesDataset
         from dal3d_tpu.models.builder import build_detector
         from dal3d_tpu.runtime import checkpoint as ckpt
-        from dal3d_tpu.runtime.steps import create_train_state, make_predict_step
+        from dal3d_tpu.runtime.steps import create_train_state
         from dal3d_tpu.solver.optim import OneCycleSchedule, build_optimizer
 
         bundle = build_detector(cfg)
@@ -113,12 +113,9 @@ def main():
         assert args.checkpoint, "model-based selector needs --checkpoint"
         state, meta = ckpt.load_checkpoint(args.checkpoint, state)
         logger.info(f"loaded checkpoint epoch {meta.get('epoch')}")
-        from dal3d_tpu.parallel.mesh import data_parallel_predict, make_mesh
+        from dal3d_tpu.parallel.mesh import sharded_eval_predict
 
-        mesh = make_mesh() if jax.device_count() > 1 else None
-        if mesh is not None:
-            logger.info(f"pool scoring sharded over mesh {mesh.shape}")
-        predict = data_parallel_predict(make_predict_step(bundle), mesh)
+        predict, mesh = sharded_eval_predict(bundle, logger, what="pool scoring")
 
         def score_fn(batch):
             keys = (

@@ -18,14 +18,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _walk(t):
-    for v in t.values():
-        if isinstance(v, dict):
-            yield from _walk(v)
-        else:
-            yield v
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("torch_ckpt")
@@ -38,16 +30,16 @@ def main():
         convert_bevfusion_state_dict,
     )
 
+    from dal3d_tpu.models.convert_second import count_leaves, save_raw_state_dict_npz
+
     ckpt = torch.load(args.torch_ckpt, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt.get("model", ckpt))
     sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
     params, stats = convert_bevfusion_state_dict(sd)  # raises on unknown layout
-    n_p = sum(1 for _ in _walk(params))
-    n_s = sum(1 for _ in _walk(stats))
-    np.savez(args.out_npz, **{k.replace(".", "__dot__"): v for k, v in sd.items()})
+    save_raw_state_dict_npz(sd, args.out_npz)
     cam = any(k.startswith("encoders.camera.") for k in sd)
-    print(f"wrote {args.out_npz}: {len(sd)} torch tensors -> {n_p} params + "
-          f"{n_s} batch_stats leaves (validated; camera branch: {cam})")
+    print(f"wrote {args.out_npz}: {len(sd)} torch tensors -> {count_leaves(params)} params + "
+          f"{count_leaves(stats)} batch_stats leaves (validated; camera branch: {cam})")
 
 
 if __name__ == "__main__":

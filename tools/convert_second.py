@@ -29,24 +29,16 @@ def main():
 
     from dal3d_tpu.models.convert_second import convert_second_state_dict
 
+    from dal3d_tpu.models.convert_second import count_leaves, save_raw_state_dict_npz
+
     ckpt = torch.load(args.torch_ckpt, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt.get("model", ckpt))
     sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
     # validate the mapping up front (raises on unknown layout)
     params, stats = convert_second_state_dict(sd, nested_l0=True)
-    n_p = len([None for _ in _walk(params)])
-    n_s = len([None for _ in _walk(stats)])
-    np.savez(args.out_npz, **{k.replace(".", "__dot__"): v for k, v in sd.items()})
+    save_raw_state_dict_npz(sd, args.out_npz)
     print(f"wrote {args.out_npz}: {len(sd)} torch tensors -> "
-          f"{n_p} params + {n_s} batch_stats leaves (validated)")
-
-
-def _walk(t):
-    for v in t.values():
-        if isinstance(v, dict):
-            yield from _walk(v)
-        else:
-            yield v
+          f"{count_leaves(params)} params + {count_leaves(stats)} batch_stats leaves (validated)")
 
 
 if __name__ == "__main__":

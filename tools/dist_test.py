@@ -36,7 +36,7 @@ def main():
     from dal3d_tpu.data import DataLoader, NuScenesDataset
     from dal3d_tpu.models.builder import build_detector
     from dal3d_tpu.runtime import checkpoint as ckpt
-    from dal3d_tpu.runtime.steps import create_train_state, make_predict_step
+    from dal3d_tpu.runtime.steps import create_train_state
     from dal3d_tpu.solver.optim import OneCycleSchedule, build_optimizer
     from dal3d_tpu.utils import Config, get_root_logger
 
@@ -45,15 +45,9 @@ def main():
     os.makedirs(work_dir, exist_ok=True)
     logger = get_root_logger(os.path.join(work_dir, "test.log"))
 
-    # metric eval defaults to the EXACT top-k prefilter so reported mAP is
-    # reproducible against the reference decode; production/bench configs
-    # opt back into approx_max_k (~0.95 recall) explicitly (ADVICE r2)
-    tcfg = dict(cfg.get("test_cfg", {}) or {})
-    nms = dict(tcfg.get("nms", {}))
-    nms.setdefault("use_approx_topk", False)
-    tcfg["nms"] = nms
-    logger.info(f"top-k prefilter: {'approx' if nms['use_approx_topk'] else 'exact'}")
-    bundle = build_detector(cfg, test_cfg=tcfg)
+    from dal3d_tpu.models.builder import eval_test_cfg
+
+    bundle = build_detector(cfg, test_cfg=eval_test_cfg(cfg, logger))
     val = dict(cfg.data["val"])
     dataset = NuScenesDataset(
         info_path=val["info_path"],
@@ -76,12 +70,9 @@ def main():
     state = create_train_state(bundle, optimizer, jrandom.PRNGKey(0), sample)
     state, meta = ckpt.load_checkpoint(args.checkpoint, state)
     logger.info(f"loaded checkpoint epoch {meta.get('epoch')}")
-    from dal3d_tpu.parallel.mesh import data_parallel_predict, make_mesh
+    from dal3d_tpu.parallel.mesh import sharded_eval_predict
 
-    mesh = make_mesh() if jax.device_count() > 1 else None
-    if mesh is not None:
-        logger.info(f"eval sharded over mesh {mesh.shape}")
-    predict = data_parallel_predict(make_predict_step(bundle), mesh)
+    predict, mesh = sharded_eval_predict(bundle, logger)
 
     from dal3d_tpu.runtime.evaluation import predict_dataset
 
