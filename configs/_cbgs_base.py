@@ -156,6 +156,7 @@ voxel_generator = dict(
     voxel_size=[0.1, 0.1, 0.2],
     max_points_in_voxel=10,
     max_voxel_num=60000,
+    bf16=True,  # production: ship bf16 mean features (halves H2D payload)
 )
 
 train_pipeline = [

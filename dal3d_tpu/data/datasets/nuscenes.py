@@ -94,6 +94,21 @@ def build_pipeline(pipeline_cfgs: List[dict], tasks=None, max_points=300000,
             from ..pipelines.camera import ReformatCamera
 
             stages.append(ReformatCamera(**cfg))
+        elif t in ("FrameDropout", "PointSample", "BackgroundPointsFilter",
+                   "VoxelBasedPointSampler", "ImagePad", "ImageDistort",
+                   "PhotoMetricDistortionMultiViewImage"):
+            from ..pipelines import transforms_extra as tx
+
+            cls = {
+                "FrameDropout": tx.FrameDropout,
+                "PointSample": tx.PointSample,
+                "BackgroundPointsFilter": tx.BackgroundPointsFilter,
+                "VoxelBasedPointSampler": tx.VoxelBasedPointSampler,
+                "ImagePad": tx.ImagePad,
+                "ImageDistort": tx.ImageDistort,
+                "PhotoMetricDistortionMultiViewImage": tx.ImageDistort,
+            }[t]
+            stages.append(cls(**cfg))
         else:
             raise KeyError(f"unknown pipeline stage {t}")
     return stages

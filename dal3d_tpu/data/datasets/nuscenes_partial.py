@@ -6,8 +6,9 @@ The reference class subsets the info pool by an *active-learning buffer*
 before the usual CBGS resample:
 
 - ``active_flag == "start"`` (nuscenes_partial.py:80-95): draw the 10%
-  random seed set, write it to ``active_buffer`` as ``{"partial_01": ids}``,
-  and train on it.  The reference quirk — ``random.sample(range(num_sample),
+  random seed set (seeded by ``partial_seed``; an existing buffer is reused
+  rather than overwritten, so resumes keep the recorded set), write it to
+  ``active_buffer`` as ``{"partial_01": ids}``, and train on it.  The reference quirk — ``random.sample(range(num_sample),
   num_sample)`` permutes the *first* ``0.1 * len`` indices rather than
   sampling from the full pool — is replicated behind
   ``faithful_start=True`` (default False: sample from the whole pool, which
@@ -65,16 +66,24 @@ class NuScenesPartialDataset(NuScenesDataset):
         if isinstance(all_infos, dict):  # dict-of-splits: flatten first
             all_infos = [i for v in all_infos.values() for i in v]
 
-        if not self._active_buffer.endswith(".json"):
-            pass  # no buffer: train on the full pool (reference :78-79)
+        if not self._active_buffer.endswith(".json") or not self._active_flag:
+            pass  # no buffer / no flag: train on the full pool (reference :78-79)
         elif self._active_flag == "start":
-            num_sample = int(len(all_infos) * self._sample_ratio)
-            if self._faithful_start:
-                # reference :87 — permutation of the first num_sample ids
-                sample_ids = random.sample(range(num_sample), num_sample)
+            import os
+
+            if os.path.exists(self._active_buffer):
+                # re-entry (resume / second construction): reuse the recorded
+                # seed set instead of silently redrawing and overwriting it
+                sample_ids = load(self._active_buffer)["partial_01"]
             else:
-                sample_ids = random.sample(range(len(all_infos)), num_sample)
-            dump({"partial_01": sample_ids}, self._active_buffer, indent=4)
+                rng = random.Random(self.partial_seed)
+                num_sample = int(len(all_infos) * self._sample_ratio)
+                if self._faithful_start:
+                    # reference :87 — permutation of the first num_sample ids
+                    sample_ids = rng.sample(range(num_sample), num_sample)
+                else:
+                    sample_ids = rng.sample(range(len(all_infos)), num_sample)
+                dump({"partial_01": sample_ids}, self._active_buffer, indent=4)
             all_infos = [all_infos[i] for i in sample_ids]
         else:
             buffer = load(self._active_buffer)

@@ -172,7 +172,9 @@ class ReformatFixedShape:
 
             vh = self.voxelize_host
             M = int(vh["max_voxel_num"])
-            bf16 = bool(vh.get("bf16", True))  # halves the H2D voxel payload
+            # opt-IN: halves the H2D voxel payload but quantizes mean
+            # features to bfloat16 — parity baselines expect float32
+            bf16 = bool(vh.get("bf16", False))
             feats, coords, npts = host_ops.points_to_voxel_mean(
                 points[: self.max_points].astype(np.float32),
                 vh["voxel_size"], vh["range"],

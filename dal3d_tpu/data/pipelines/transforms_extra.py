@@ -65,6 +65,8 @@ class PointSample:
     def __call__(self, res: dict, info: dict):
         pts = res["lidar"]["points"]
         n = pts.shape[0]
+        if n == 0:  # upstream filters can empty the cloud; nothing to sample
+            return res, info
         replace = self.replace or n < self.num_points
         if self.sample_range is not None and not replace:
             depth = np.linalg.norm(pts[:, :3], axis=1)
@@ -91,6 +93,7 @@ class BackgroundPointsFilter:
         if isinstance(bbox_enlarge_range, (int, float)):
             bbox_enlarge_range = (float(bbox_enlarge_range),) * 3
         assert len(bbox_enlarge_range) == 3, bbox_enlarge_range
+        # extra margin PER SIDE (mmdet3d transforms_3d.py BackgroundPointsFilter)
         self.enlarge = np.asarray(bbox_enlarge_range, np.float32)
 
     def __call__(self, res: dict, info: dict):
@@ -99,7 +102,10 @@ class BackgroundPointsFilter:
         if boxes.shape[0] == 0:
             return res, info
         big = boxes.copy()
-        big[:, 3:6] = big[:, 3:6] + self.enlarge[None]
+        big[:, 3:6] = big[:, 3:6] + 2.0 * self.enlarge[None]
+        # our box z is the BOTTOM face (points_in_rbbox origin (0.5,0.5,0)):
+        # shift it down so the enlarged box extends below the object too
+        big[:, 2] = big[:, 2] - self.enlarge[2]
         fg = box_np_ops.points_in_rbbox(pts, boxes).any(-1)
         fg_big = box_np_ops.points_in_rbbox(pts, big).any(-1)
         res["lidar"]["points"] = pts[~(fg_big & ~fg)]
@@ -112,7 +118,7 @@ class VoxelBasedPointSampler:
     max_voxels), and the surviving per-voxel points replace the cloud."""
 
     def __init__(self, cur_sweep_cfg: dict, prev_sweep_cfg: Optional[dict] = None,
-                 time_dim: int = 3,
+                 time_dim: int = 4,  # [x,y,z,intensity,time] (loading.py)
                  rng: Optional[np.random.RandomState] = None):
         self.cur = VoxelGenerator(**cur_sweep_cfg)
         self.prev = VoxelGenerator(**prev_sweep_cfg) if prev_sweep_cfg else None

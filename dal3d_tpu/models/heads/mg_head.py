@@ -120,6 +120,10 @@ class TestConfig:
     # recall ratio (default 0.95) at a fraction of exact top_k's cost (exact
     # top_k over 196k also costs ~190 s of compile time on this runtime)
     use_approx_topk: bool = True
+    # predict-time IoU-branch decode flavor — must match the training loss
+    # (mg_loss_head.multi_group_loss_with_iou / decode_iou_preds):
+    # "smooth_l1" de-normalizes iou*std+mean and clamps, "sigmoid" squashes
+    iou_decode: str = "smooth_l1"
 
 
 def multi_group_predict(
@@ -166,8 +170,10 @@ def multi_group_predict(
         top_scores = scores.max(axis=-1) if nc > 1 else scores[..., 0]
         top_labels = scores.argmax(axis=-1) if nc > 1 else jnp.zeros(scores.shape[:2], jnp.int32)
         if with_iou:
-            iou_dec = jnp.clip(
-                jax.nn.sigmoid(pred["iou_preds"].reshape(B, -1)), 0.0, 1.0
+            from .mg_loss_head import decode_iou_preds
+
+            iou_dec = decode_iou_preds(
+                pred["iou_preds"].reshape(B, -1), cfg.iou_decode
             )
             if iou_rescore_alpha > 0.0:
                 top_scores = jnp.power(top_scores, 1.0 - iou_rescore_alpha) * jnp.power(

@@ -123,6 +123,7 @@ def multi_group_loss_with_iou(
     iou_loss_weight: float = 1.0,
     iou_norm: Dict[str, float] | None = None,
     iou_loss_type: str = "smooth_l1",
+    gt_classes_by_task: List[jnp.ndarray] | None = None,  # [B, G], 0 = pad
 ):
     """Base multi-group loss + per-task IoU regression.
 
@@ -144,12 +145,20 @@ def multi_group_loss_with_iou(
         decoded = box_coder.decode_jax(box_preds, anchors[None])  # [B, A, 9]
         iou_preds = pred["iou_preds"].reshape(B, -1)
 
-        def per_sample(dec, gts):
+        def per_sample(dec, gts, gv):
             iou = boxes_iou3d(dec, gts)  # [A, G]
-            return iou.max(axis=1)
+            # padded GT rows (zeros at the origin with unit dims) must not
+            # define targets — without the mask every anchor decoding near
+            # the lidar origin would be taught a phantom IoU
+            return jnp.where(gv[None, :], iou, 0.0).max(axis=1)
 
+        if gt_classes_by_task is not None:
+            gvalid = gt_classes_by_task[t] > 0
+        else:  # fall back to geometric validity of the pad convention
+            gvalid = jnp.any(gt_boxes_by_task[t][..., 3:6] > 0, axis=-1) & jnp.any(
+                jnp.abs(gt_boxes_by_task[t][..., :3]) > 1e-6, axis=-1)
         target_iou = jax.lax.stop_gradient(
-            jax.vmap(per_sample)(decoded, gt_boxes_by_task[t])
+            jax.vmap(per_sample)(decoded, gt_boxes_by_task[t], gvalid)
         )
         cls_weights, reg_weights, _ = prepare_loss_weights(
             labels[t], cfg.pos_cls_weight, cfg.neg_cls_weight

@@ -172,9 +172,8 @@ int points_to_voxel_mean_mt(const float* points, int64_t n_points, int n_feat,
                       : (static_cast<int64_t>(iz) * ny + iy) * nx + ix;
       }
     };
-    if (T == 1) {
-      keyfn(0, n_points);
-    } else {
+    {
+      // T >= 2 here: T == 1 returned via the single-pass fast path above
       std::vector<std::thread> ts;
       int64_t chunk = (n_points + T - 1) / T;
       for (int t = 0; t < T; ++t) {
@@ -218,9 +217,7 @@ int points_to_voxel_mean_mt(const float* points, int64_t n_points, int n_feat,
       }
     }
   };
-  if (T == 1) {
-    ownfn(0);
-  } else {
+  {
     std::vector<std::thread> ts;
     for (int t = 0; t < T; ++t) ts.emplace_back(ownfn, t);
     for (auto& th : ts) th.join();

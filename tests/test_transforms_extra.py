@@ -109,3 +109,21 @@ def test_hsv_roundtrip_and_distort():
     res = {"mode": "val", "camera": {"np_images": [img.copy()]}}
     out, _ = tx.ImageDistort(rng=np.random.RandomState(5))(res, {})
     np.testing.assert_array_equal(out["camera"]["np_images"][0], img)
+
+
+def test_extra_stages_reachable_from_build_pipeline():
+    """The widened mmdet3d stages must be constructible from config dicts
+    (review r3: they were implemented but not registered)."""
+    from dal3d_tpu.data.datasets.nuscenes import build_pipeline
+
+    stages = build_pipeline([
+        dict(type="FrameDropout", prob=0.1),
+        dict(type="PointSample", num_points=1024),
+        dict(type="BackgroundPointsFilter", bbox_enlarge_range=0.2),
+        dict(type="VoxelBasedPointSampler", cur_sweep_cfg=dict(
+            voxel_size=[0.5, 0.5, 0.5], point_cloud_range=[-10, -10, -5, 10, 10, 3],
+            max_num_points=4, max_voxels=2000)),
+        dict(type="ImagePad", size_divisor=32),
+        dict(type="ImageDistort"),
+    ])
+    assert len(stages) == 6

@@ -78,7 +78,8 @@ def main():
     if dataset_type in ("NUSC_PART", "NuScenesPartialDataset"):
         # partial-label AL knobs live at config top level (reference
         # examples/active/cbgs_partial.py:315-316)
-        for k in ("active_buffer", "active_flag", "sample_ratio", "label_fraction"):
+        for k in ("active_buffer", "active_flag", "sample_ratio", "label_fraction",
+                  "partial_seed"):
             if cfg.get(k) is not None:
                 train_data.setdefault(k, cfg[k])
     dataset = build_dataset(
