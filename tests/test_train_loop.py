@@ -122,3 +122,25 @@ def test_multidevice_data_parallel():
     dets = pred(state2.params, state2.batch_stats, {k: sharded[k] for k in ("points", "points_valid")})
     assert dets["box3d_lidar"].shape[0] == 8
     assert np.isfinite(np.asarray(dets["embedding"])).all()
+
+
+def test_active_trainer_mesh_epoch(tmp_path):
+    """ActiveTrainer shards batches over the mesh like Trainer (review r3:
+    the dual-model epoch loop previously bypassed shard_batch entirely)."""
+    import optax
+
+    from dal3d_tpu.models.detectors.estimator import Estimator
+    from dal3d_tpu.runtime.active_trainer import ActiveTrainer
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(n_data=4, n_model=2)
+    bundle = make_bundle()
+    opt = build_optimizer(OneCycleSchedule(total_steps=10))
+    estimator = Estimator(max_pts=32, hidden=(16, 32))
+    tr = ActiveTrainer(bundle, opt, estimator, optax.adam(1e-3), str(tmp_path),
+                       mesh=mesh)
+    batch = make_batch(B=8)
+    tr.init_state(jax.random.PRNGKey(0), batch)
+    tr.init_estimator(jax.random.PRNGKey(1), batch)
+    stats = tr.train_epoch([batch])
+    assert np.isfinite(stats["loss"]) and np.isfinite(stats["estimator_loss"])
