@@ -217,9 +217,13 @@ def transfusion_decode(preds: Dict[str, jnp.ndarray], cfg: TransFusionTestCfg):
     boxes = jnp.stack(
         [cx, cy, z, w, l, h, preds["vel"][..., 0], preds["vel"][..., 1], yaw], axis=-1
     )
+    # reference get_bboxes :724-731: the per-proposal class is FORCED to the
+    # query's init class (one_hot(query_labels) mask) and the score is
+    # sigmoid(logit at that class) * the masked-heatmap query score
     probs = jax.nn.sigmoid(preds["cls_logits"])
-    scores = probs.max(-1) * preds["query_score"]
-    labels = probs.argmax(-1)
+    labels = preds["query_labels"]
+    score_at_q = jnp.take_along_axis(probs, labels[..., None], axis=-1)[..., 0]
+    scores = score_at_q * preds["query_score"]
     valid = scores > cfg.score_threshold
     return {"box3d_lidar": boxes, "scores": scores, "label_preds": labels, "det_valid": valid}
 

@@ -355,6 +355,23 @@ def test_converted_bevfusion_matches_torch_reference():
             np.asarray(preds[ours_key])[0], head_ref[branch][0].numpy(),
             rtol=5e-4, atol=5e-4, err_msg=branch)
 
+    # decode composition (reference get_bboxes :724-731): label = query
+    # class; score = sigmoid(cls logit at that class) * query score
+    from dal3d_tpu.models.bevfusion.transfusion import (
+        TransFusionTestCfg, transfusion_decode,
+    )
+
+    dec = transfusion_decode(preds, TransFusionTestCfg(
+        out_size_factor=8, voxel_size=(0.25, 0.25), pc_range=(-2.0, -2.0)))
+    logit_q = np.take_along_axis(
+        head_ref["heatmap"][0].numpy(), head_ref["cls"][0].numpy()[:, None], axis=-1
+    )[:, 0]
+    ref_scores = (1 / (1 + np.exp(-logit_q))) * head_ref["scores"][0].numpy()
+    np.testing.assert_allclose(np.asarray(dec["scores"])[0], ref_scores,
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_array_equal(np.asarray(dec["label_preds"])[0],
+                                  head_ref["cls"][0].numpy())
+
 
 @pytest.mark.slow
 def test_camera_lidar_converted_tree_matches_init():
