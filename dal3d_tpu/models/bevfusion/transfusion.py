@@ -147,9 +147,14 @@ class TransFusionHead(nn.Module):
         xx0 = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
         inner = ((yy0 >= pad) & (yy0 < H - pad) & (xx0 >= pad) & (xx0 < W - pad))
         local_max = jnp.where(inner[None, :, :, None], pooled, 0.0)
+        raw_classes = None  # classes whose peaks skip the local-max NMS
         if self.dataset == "nuScenes" and nc == 10:
-            keep_raw = (jnp.arange(nc) >= 8)[None, None, None, :]
-            local_max = jnp.where(keep_raw, prob, local_max)
+            raw_classes = jnp.arange(nc) >= 8  # pedestrian, traffic_cone
+        elif self.dataset == "Waymo" and nc >= 3:
+            # reference :257-262: Pedestrian & Cyclist (classes 1, 2)
+            raw_classes = (jnp.arange(nc) == 1) | (jnp.arange(nc) == 2)
+        if raw_classes is not None:
+            local_max = jnp.where(raw_classes[None, None, None, :], prob, local_max)
         masked = prob * (prob == local_max)
         flat = masked.transpose(0, 3, 1, 2).reshape(B, nc * H * W)
         top_scores, top_idx = jax.lax.top_k(flat, P)  # [B, P]
