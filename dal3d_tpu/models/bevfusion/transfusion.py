@@ -70,22 +70,25 @@ class DecoderLayer(nn.Module):
     dim: int = 128
     heads: int = 8
     ffn_dim: int = 256
+    dropout: float = 0.1  # reference TransformerDecoderLayer dropout1/2/3 + FFN
 
     @nn.compact
-    def __call__(self, q, q_pos, kv, kv_pos):
+    def __call__(self, q, q_pos, kv, kv_pos, train: bool = False):
         """q [B,P,C], kv [B,HW,C] with positional encodings."""
+        drop = lambda x: nn.Dropout(self.dropout, deterministic=not train)(x)  # noqa: E731
         qe = q + q_pos
-        sa = nn.MultiHeadDotProductAttention(num_heads=self.heads)(qe, qe, qe)
-        q = nn.LayerNorm()(q + sa)
+        sa = nn.MultiHeadDotProductAttention(num_heads=self.heads)(
+            qe, inputs_k=qe, inputs_v=qe)
+        q = nn.LayerNorm()(q + drop(sa))
         ke = kv + kv_pos
         ca = nn.MultiHeadDotProductAttention(num_heads=self.heads)(
-            q + q_pos, ke, ke
+            q + q_pos, inputs_k=ke, inputs_v=ke
         )
-        q = nn.LayerNorm()(q + ca)
+        q = nn.LayerNorm()(q + drop(ca))
         y = nn.Dense(self.ffn_dim)(q)
-        y = nn.relu(y)
+        y = drop(nn.relu(y))
         y = nn.Dense(self.dim)(y)
-        return nn.LayerNorm()(q + y)
+        return nn.LayerNorm()(q + drop(y))
 
 
 class TransFusionHead(nn.Module):
@@ -178,7 +181,7 @@ class TransFusionHead(nn.Module):
         kv_pos = PositionEmbeddingLearned(d, name="cross_posembed")(kv_xy, train)
 
         q = DecoderLayer(d, self.num_heads, self.ffn_channel, name="decoder0")(
-            q_feat, q_pos, feat_flat, kv_pos)
+            q_feat, q_pos, feat_flat, kv_pos, train)
 
         # prediction FFNs (reference: center, height, dim, rot, vel, heatmap)
         center = PredFFN(2, name="pred_center")(q, train)  # offset from query pos

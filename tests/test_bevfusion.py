@@ -225,3 +225,47 @@ def test_bevfusion_centerpoint_head(lidar_batch):
                          pc_range=(-8.0, -8.0), max_per_task=10)
     dets = center_head_decode(preds["center_preds"], ccfg)
     assert np.isfinite(np.asarray(dets["box3d_lidar"])).all()
+
+
+@pytest.mark.slow
+@pytest.mark.overfit
+def test_transfusion_overfit_localizes(lidar_batch):
+    """Overfit evidence for the faithful head: a few hundred Hungarian-
+    matched steps on one synthetic scene must localize the GT boxes (the
+    top-scoring decoded centers land near the two GT centers)."""
+    import optax
+
+    from dal3d_tpu.runtime.bevfusion_steps import (
+        create_bevfusion_state, make_bevfusion_train_step,
+    )
+
+    batch, gt, cls = lidar_batch
+    model = BEVFusion(
+        voxel_cfg=VCFG, with_camera=False, num_proposals=16,
+        decoder_channels=(32, 64), decoder_layer_nums=(2, 2),
+        neck_out_channels=(64, 64), hidden_channel=64, ffn_channel=128,
+        num_heads=4, voxel_caps=(2000, 1000, 500, 500),
+    )
+    tcfg = TransFusionTestCfg(out_size_factor=8, voxel_size=(0.25, 0.25),
+                              pc_range=(-8.0, -8.0))
+    opt = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(3e-4))
+    tb = dict(batch)
+    tb["gt_boxes"], tb["gt_classes"] = gt, cls
+    state = create_bevfusion_state(model, opt, jax.random.PRNGKey(0), tb)
+    step = make_bevfusion_train_step(model, opt, tcfg)
+    losses = []
+    for _ in range(400):
+        state, logs = step(state, tb)
+        losses.append(float(logs["loss"]))
+    assert losses[-1] < losses[0] * 0.1, (losses[0], losses[-1])
+
+    preds = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats}, batch, False)
+    dets = transfusion_decode(preds, tcfg)
+    boxes = np.asarray(dets["box3d_lidar"][0])
+    order = np.argsort(-np.asarray(dets["scores"][0]))
+    top = boxes[order[:2], :2]
+    gt_xy = np.asarray(gt[0, :2, :2])
+    # the two top-scoring detections land within 1.5 m of the two GT centers
+    for g in gt_xy:
+        assert np.min(np.linalg.norm(top - g[None], axis=1)) < 1.5, (top, g)
