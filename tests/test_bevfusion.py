@@ -269,3 +269,42 @@ def test_transfusion_overfit_localizes(lidar_batch):
     # the two top-scoring detections land within 1.5 m of the two GT centers
     for g in gt_xy:
         assert np.min(np.linalg.norm(top - g[None], axis=1)) < 1.5, (top, g)
+
+
+@pytest.mark.slow
+def test_bevfusion_train_step_mesh(lidar_batch):
+    """BEVFusion train step runs sharded over the 8-vCPU mesh (batch DP with
+    XLA gradient psum — the torchpack-DDP equivalent)."""
+    import optax
+
+    from dal3d_tpu.parallel.mesh import make_mesh, shard_batch
+    from dal3d_tpu.runtime.bevfusion_steps import (
+        create_bevfusion_state, make_bevfusion_train_step,
+    )
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(n_data=8, n_model=1)
+    batch, gt, cls = lidar_batch
+    B = 8
+    tb = {
+        "points": jnp.tile(batch["points"], (B, 1, 1)),
+        "points_valid": jnp.tile(batch["points_valid"], (B, 1)),
+        "gt_boxes": jnp.tile(gt, (B, 1, 1)),
+        "gt_classes": jnp.tile(cls, (B, 1)),
+    }
+    model = BEVFusion(
+        voxel_cfg=VCFG, with_camera=False, num_proposals=8,
+        decoder_channels=(16, 32), decoder_layer_nums=(1, 1),
+        neck_out_channels=(16, 16), hidden_channel=16, ffn_channel=32,
+        num_heads=2, voxel_caps=(2000, 1000, 500, 500),
+    )
+    tcfg = TransFusionTestCfg(out_size_factor=8, voxel_size=(0.25, 0.25),
+                              pc_range=(-8.0, -8.0))
+    opt = optax.adam(1e-4)
+    state = create_bevfusion_state(model, opt, jax.random.PRNGKey(0), tb)
+    step = make_bevfusion_train_step(model, opt, tcfg)
+    sb = shard_batch(tb, mesh)
+    with jax.set_mesh(mesh):
+        state, logs = step(state, sb)
+    assert np.isfinite(float(logs["loss"]))
+    assert int(logs["num_matched"]) == 2 * B

@@ -76,6 +76,14 @@ def main():
         voxelize_host=dict(cfg.voxel_generator),
     )
     batch_size = args.batch_size or cfg.data.get("samples_per_gpu", 2)
+    # multi-chip: batch DP over the mesh 'data' axis (the reference trains
+    # BEVFusion with torchpack dist-run DDP; here the mesh replaces NCCL)
+    from dal3d_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    if mesh is not None:
+        batch_size = batch_size * int(mesh.shape["data"])
+        logger.info(f"mesh {mesh.shape}: global batch {batch_size}")
     total_epochs = args.epochs or cfg.get("total_epochs", 20)
     steps = max(len(dataset) // batch_size, 1) * total_epochs
     lr = cfg.get("lr_config", {})
@@ -144,9 +152,15 @@ def main():
         state = state.replace(params=params)
         logger.info(f"camera backbone initialized from {args.swin_init}")
 
+    import contextlib
+
     for epoch in range(total_epochs):
         for i, batch in enumerate(DataLoader(dataset, batch_size, shuffle=True, seed=epoch)):
-            state, logs = step(state, to_fusion_batch(batch))
+            fb = to_fusion_batch(batch)
+            if mesh is not None:
+                fb = shard_batch(fb, mesh)
+            with jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext():
+                state, logs = step(state, fb)
             if (i + 1) % cfg.get("log_config", {}).get("interval", 5) == 0:
                 logger.info(
                     f"Epoch [{epoch+1}][{i+1}] loss {float(logs['loss']):.4f} "
