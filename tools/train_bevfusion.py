@@ -23,6 +23,9 @@ def main():
     p.add_argument("--torch_init", default=None,
                    help="npz from tools/convert_bevfusion.py: warm-start the "
                         "whole model from a converted reference checkpoint")
+    p.add_argument("--budget", type=str, default=None,
+                   help="AL budget suffix: train on infos_*_{budget}.pkl "
+                        "(written by tools/create_data.py --suffix)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     jax = setup_jax(force_cpu=args.cpu)
@@ -68,6 +71,11 @@ def main():
     )
 
     train_data = dict(cfg.data["train"])
+    if args.budget is not None:
+        ip = train_data["info_path"]
+        ext = os.path.splitext(ip)[-1]
+        train_data["info_path"] = ip.replace(ext, f"_{args.budget}{ext}")
+        logger.info(f"AL budget {args.budget}: training on {train_data['info_path']}")
     dataset = NuScenesDataset(
         info_path=train_data["info_path"], root_path=train_data.get("root_path", ""),
         nsweeps=train_data.get("nsweeps", 10), class_names=train_data.get("class_names"),
