@@ -6,7 +6,9 @@ from _cbgs_base import *  # noqa: F401,F403
 
 model = dict(model)  # noqa: F405
 model["type"] = "VoxelNet"
-model["backbone"] = dict(model["backbone"], type="SpMiddleResNetFHD")
+# the non-FPN SpMiddleResNetFHD differs from the FPN variant only in not
+# returning intermediate maps; our builder selects that via the detector type
+# (VoxelNet = return_middle False), so no backbone-type override is needed
 
 selector = None  # full supervision: no selection round
 work_dir = "./work_dirs/cbgs_full"

@@ -20,5 +20,10 @@ selector = dict(
     buffer_file="data/buffers/partial.json",
     infos_origin="data/nuScenes/infos_train_10sweeps_withvelo.pkl",
     pred_store_file="data/buffers/partial_pred.npz",
+    # the random seed set lives in the DATASET's active_buffer (partial_01);
+    # exclude it so selection never re-picks already-labeled frames. Later
+    # partial training rounds read buffer keys via active_flag (dataset
+    # subsetting), not the --budget subset infos.
+    exclude_buffer=active_buffer,
 )
 work_dir = "./work_dirs/cbgs_partial"

@@ -8,6 +8,10 @@ active_buffer = "data/buffers/partial_synth.json"
 active_flag = "start"
 label_fraction = 1.0
 
+selector = dict(  # inherit the synthetic ST selector but exclude the seed set
+    **{**selector, "exclude_buffer": active_buffer}  # noqa: F405
+)
+
 estimator = dict(type="Estimator", max_pts=64, hidden=(32, 64))
 estimator_lr = 0.001
 work_dir = "./work_dirs/cbgs_partial_synth"

@@ -64,3 +64,60 @@ def load_checkpoint(work_dir: str, state_template, epoch: Optional[int] = None):
             meta = json.load(f)
     meta.setdefault("epoch", epoch)
     return state, meta
+
+
+def load_partial_params(work_dir: str, state, epoch: Optional[int] = None,
+                        logger=None):
+    """Warm-start across MODEL STRUCTURES: restore a checkpoint saved from a
+    different module tree and copy every params/batch_stats leaf whose path
+    and shape match into ``state`` (the reference's strict=False
+    load_checkpoint, torchie/trainer/checkpoint.py:121-190 — used for the
+    BEVFusion stage-1 lidar -> stage-2 fusion transfer).
+
+    Optimizer state is NOT transferred (new optimizer, step 0 semantics).
+    Returns (state, n_copied, n_skipped)."""
+    if epoch is None:
+        epoch = latest_epoch(work_dir)
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints under {work_dir}")
+    mngr = _mngr(work_dir)
+    raw = mngr.restore(epoch, args=ocp.args.StandardRestore())  # template-free
+    mngr.close()
+
+    import numpy as np
+
+    def flat(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(flat(v, prefix + k + "/"))
+            else:
+                out[prefix + k] = v
+        return out
+
+    def unflat(d):
+        tree: dict = {}
+        for k, v in d.items():
+            node = tree
+            parts = k.split("/")
+            for q in parts[:-1]:
+                node = node.setdefault(q, {})
+            node[parts[-1]] = v
+        return tree
+
+    copied = skipped = 0
+    new = {}
+    for what in ("params", "batch_stats"):
+        src = flat(raw.get(what, {}) or {})
+        dst = flat(getattr(state, what) or {})
+        for k in dst:
+            if k in src and tuple(np.shape(src[k])) == tuple(np.shape(dst[k])):
+                dst[k] = jax.numpy.asarray(src[k], np.asarray(dst[k]).dtype)
+                copied += 1
+            else:
+                skipped += 1
+        new[what] = unflat(dst)
+    if logger is not None:
+        logger.info(f"partial warm-start from {work_dir} (epoch {epoch}): "
+                    f"{copied} leaves copied, {skipped} kept init")
+    return state.replace(params=new["params"], batch_stats=new["batch_stats"]), copied, skipped

@@ -40,6 +40,7 @@ class BaseSelector:
         pred: bool = False,
         cost_b: float = 0.04,
         cost_f: float = 0.12,
+        exclude_buffer: str = "",
         **kwargs,
     ) -> None:
         self.budget = budget
@@ -56,10 +57,27 @@ class BaseSelector:
         self.pred = pred
         self.cost_b = cost_b
         self.cost_f = cost_f
+        # frames labeled OUTSIDE this selector's buffer (e.g. the partial
+        # pipeline's random seed set, dataset active_buffer partial_01):
+        # excluded from selection so the budget is never spent re-picking
+        # already-labeled frames
+        self.presampled: List[int] = []
+        if exclude_buffer:
+            import os as _os
+
+            if _os.path.exists(exclude_buffer):
+                extra = load(exclude_buffer)
+                self.presampled = sorted(
+                    {int(i) for ids in extra.values() for i in ids})
 
     # ------------------------------------------------------------------
     def get_max_key(self) -> str:
         return str(max(int(k) for k in self.buffer.keys()))
+
+    def get_sampled(self) -> List[int]:
+        """Already-labeled frame ids: this buffer's latest round plus any
+        externally-labeled set (exclude_buffer)."""
+        return sorted(set(self.buffer[self.get_max_key()]) | set(self.presampled))
 
     def select_samples(self, **kwargs) -> None:
         raise NotImplementedError
@@ -157,7 +175,7 @@ class BaseSelector:
         from ..ops.kcenter import kcenter_matrix
 
         N = len(self.infos_origin)
-        sampled = list(self.buffer[self.get_max_key()])
+        sampled = self.get_sampled()
         dm = np.asarray(distance_map, np.float32)
         if restrict_to is not None:
             keep = np.isin(np.arange(N), list(restrict_to) + sampled)
@@ -202,7 +220,7 @@ class BaseSelector:
 
         N = len(self.infos_origin)
         feats = jnp.asarray(np.asarray(features, np.float32))
-        sampled = list(self.buffer[self.get_max_key()])
+        sampled = self.get_sampled()
         already = np.zeros(N, bool)
         already[sampled] = True
         if restrict_to is not None:

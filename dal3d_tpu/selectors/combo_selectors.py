@@ -37,7 +37,7 @@ class SpatialFeatureSelector(SpatialSelector):
         else:
             dm = np.maximum(spatial, feature)
         dm = np.where(np.isfinite(dm), dm, 2.0)
-        sampled = list(self.buffer[self.get_max_key()])
+        sampled = self.get_sampled()
         selected = self.kcenter_on_map(dm)
         self.selected_index[self.current_budget] = sampled + selected
 
@@ -63,6 +63,6 @@ class SpatialTemporalFeatureSelector(SpatialSelector):
         )
         dm = spatial + self.lambda_t * temporal + self.lambda_f * feature
         dm = np.where(np.isfinite(dm), dm, 3.0)
-        sampled = list(self.buffer[self.get_max_key()])
+        sampled = self.get_sampled()
         selected = self.kcenter_on_map(dm)
         self.selected_index[self.current_budget] = sampled + selected

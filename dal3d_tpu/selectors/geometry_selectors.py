@@ -20,7 +20,7 @@ class RandomSelector(BaseSelector):
     (random_selector.py:39-66)."""
 
     def select_samples(self, **kwargs) -> None:
-        sampled = list(self.buffer[self.get_max_key()])
+        sampled = self.get_sampled()
         left = [i for i in range(len(self.infos_origin)) if i not in set(sampled)]
         cost = self.get_cost_amount()
         costs = self.frame_costs
@@ -71,7 +71,7 @@ class SpatialSelector(BaseSelector, _LogMixin):
     def select_samples(self, **kwargs) -> None:
         dm = self.build_map()
         dm = np.where(np.isfinite(dm), dm, dm[np.isfinite(dm)].max() * 2)
-        sampled = list(self.buffer[self.get_max_key()])
+        sampled = self.get_sampled()
         selected = self.kcenter_on_map(dm)
         self.selected_index[self.current_budget] = sampled + selected
 
@@ -87,7 +87,7 @@ class EuSpatialSelector(BaseSelector, _LogMixin):
 
     def select_samples(self, **kwargs) -> None:
         dm = maps.euclidean_spatial_map(self.ego_locations(), self._scenes())
-        sampled = list(self.buffer[self.get_max_key()])
+        sampled = self.get_sampled()
         selected = self.kcenter_on_map(dm)
         self.selected_index[self.current_budget] = sampled + selected
 
@@ -99,7 +99,7 @@ class TemporalSelector(BaseSelector):
 
     def select_samples(self, **kwargs) -> None:
         dm, _ = maps.temporal_map(self.logfiles())
-        sampled = list(self.buffer[self.get_max_key()])
+        sampled = self.get_sampled()
         selected = self.kcenter_on_map(dm)
         self.selected_index[self.current_budget] = sampled + selected
 
@@ -134,6 +134,6 @@ class SpatialTemporalSelector(SpatialSelector):
         else:
             dm = np.maximum(spatial, temporal)
         dm = np.where(np.isfinite(dm), dm, 2.0)
-        sampled = list(self.buffer[self.get_max_key()])
+        sampled = self.get_sampled()
         selected = self.kcenter_on_map(dm)
         self.selected_index[self.current_budget] = sampled + selected

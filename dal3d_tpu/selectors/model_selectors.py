@@ -64,7 +64,7 @@ class FeatureSelector(_ModelSelectorBase):
 
     def select_samples(self, **kwargs) -> None:
         s = self.scoring()
-        sampled = list(self.buffer[self.get_max_key()])
+        sampled = self.get_sampled()
         selected = self.kcenter_embed(s["embedding"])
         self.selected_index[self.current_budget] = sampled + selected
 
@@ -76,7 +76,7 @@ class EntropySelector(_ModelSelectorBase):
 
     def select_samples(self, **kwargs) -> None:
         s = self.scoring()
-        sampled = list(self.buffer[self.get_max_key()])
+        sampled = self.get_sampled()
         ent = np.asarray(s["score_entropy"]).copy()
         selected = self.topk_by_score(ent, exclude=sampled)
         self.selected_index[self.current_budget] = selected + sampled
@@ -90,7 +90,7 @@ class BadgeSelector(_ModelSelectorBase):
     def select_samples(self, **kwargs) -> None:
         s = self.scoring()
         weighted = s["embedding"] * s["score_entropy"][:, None]
-        sampled = list(self.buffer[self.get_max_key()])
+        sampled = self.get_sampled()
         selected = self.kcenter_embed(weighted)
         self.selected_index[self.current_budget] = sampled + selected
 
@@ -106,7 +106,7 @@ class UWESelector(_ModelSelectorBase):
         denom = max(ent.max() - ent.min(), 1e-12)
         norm = (ent - ent.min()) / denom
         weighted = s["embedding"] * norm[:, None]
-        sampled = list(self.buffer[self.get_max_key()])
+        sampled = self.get_sampled()
         selected = self.kcenter_embed(weighted)
         self.selected_index[self.current_budget] = sampled + selected
 
@@ -138,7 +138,7 @@ class PPALSelector(_ModelSelectorBase):
 
     def select_samples(self, **kwargs) -> None:
         s = self.scoring()
-        sampled = list(self.buffer[self.get_max_key()])
+        sampled = self.get_sampled()
         went = self.weighted_entropy(s)
         pool_budget = float(self.current_budget) + self.budget * (self.delta - 1)
         initial_pool = self.topk_by_score(went, budget=pool_budget, exclude=sampled)
@@ -159,7 +159,7 @@ class CaldSelector(BaseSelector):
         self.jsdiv_file = jsdiv_file
 
     def select_samples(self, **kwargs) -> None:
-        sampled = list(self.buffer[self.get_max_key()])
+        sampled = self.get_sampled()
         ranking: List[int] = [i for i in load(self.sorted_idx_file) if i not in set(sampled)]
         costs = self.frame_costs
 

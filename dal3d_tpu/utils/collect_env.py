@@ -41,8 +41,8 @@ def collect_env() -> dict:
             for part in mod.split(".")[1:]:
                 m = getattr(m, part)
             info[mod] = getattr(m, "__version__", "?")
-        except ImportError:
-            info[mod] = "not installed"
+        except Exception as e:  # broken installs raise OSError/RuntimeError
+            info[mod] = f"unavailable ({type(e).__name__})"
     try:
         from ..native import host_ops
 

@@ -25,8 +25,8 @@ def setup_jax(
 
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
-    if force_cpu:
-        # no persistent cache on forced-CPU runs: XLA:CPU AOT entries carry
+        # no persistent cache on forced-CPU runs (an explicit cache_dir is
+        # intentionally ignored here too): XLA:CPU AOT entries carry
         # compile-preference pseudo-features (prefer-no-gather/scatter) the
         # host prober never reports, so every cache HIT logs a spurious
         # machine-mismatch/SIGILL warning (VERDICT r2; an upstream cosmetic

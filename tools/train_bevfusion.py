@@ -128,7 +128,12 @@ def main():
         state, meta = ckpt.load_checkpoint(rd, state)
         logger.info(f"resumed epoch {meta.get('epoch')} from {rd}")
     elif args.load_from:
-        state, _ = ckpt.load_checkpoint(args.load_from, state)
+        # stage-2 fusion warm-starts from the stage-1 lidar-only checkpoint:
+        # a DIFFERENT module tree, so copy matching leaves (strict=False)
+        state, n_copied, _ = ckpt.load_partial_params(args.load_from, state,
+                                                      logger=logger)
+        if n_copied == 0:
+            raise SystemExit(f"--load_from {args.load_from}: no matching leaves")
         logger.info(f"warm-started from {args.load_from}")
     elif args.torch_init:
         from dal3d_tpu.models.bevfusion.convert_bevfusion import (

@@ -13,9 +13,10 @@ BUDGET=${1:?cumulative AL budget (suffix of the selected infos)}
 DATA_ROOT=${2:-data/nuScenes}
 WORK=${3:-work_dirs/bevfusion_al}
 
-python tools/create_data.py nuscenes_data_prep --root_path "$DATA_ROOT" --suffix "$BUDGET"
+# infos only: the BEVFusion stages train without GT-AUG (db_sampler=None)
+python tools/create_data.py nuscenes_data_prep --root_path "$DATA_ROOT" --suffix "$BUDGET" --infos_only
 python tools/train_bevfusion.py configs/bevfusion_lidar.py \
   --budget "$BUDGET" --work_dir "$WORK/lidar_$BUDGET"
-python tools/train_bevfusion.py configs/bevfusion_cl_synthetic.py \
+python tools/train_bevfusion.py configs/bevfusion_cl.py \
   --budget "$BUDGET" --work_dir "$WORK/cl_$BUDGET" \
   --load_from "$WORK/lidar_$BUDGET"
