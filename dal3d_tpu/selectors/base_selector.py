@@ -74,9 +74,15 @@ class BaseSelector:
     def get_max_key(self) -> str:
         return str(max(int(k) for k in self.buffer.keys()))
 
+    def round_lineage(self) -> List[int]:
+        """This buffer's own latest round — the ids carried forward into the
+        next stored round (externally-labeled frames are NOT part of the
+        buffer lineage; they live in their own file)."""
+        return list(self.buffer[self.get_max_key()])
+
     def get_sampled(self) -> List[int]:
-        """Already-labeled frame ids: this buffer's latest round plus any
-        externally-labeled set (exclude_buffer)."""
+        """Frames excluded from selection: this buffer's latest round plus
+        any externally-labeled set (exclude_buffer)."""
         return sorted(set(self.buffer[self.get_max_key()]) | set(self.presampled))
 
     def select_samples(self, **kwargs) -> None:

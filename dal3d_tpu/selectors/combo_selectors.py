@@ -39,7 +39,7 @@ class SpatialFeatureSelector(SpatialSelector):
         dm = np.where(np.isfinite(dm), dm, 2.0)
         sampled = self.get_sampled()
         selected = self.kcenter_on_map(dm)
-        self.selected_index[self.current_budget] = sampled + selected
+        self.selected_index[self.current_budget] = self.round_lineage() + selected
 
 
 @SELECTORS.register_module
@@ -65,4 +65,4 @@ class SpatialTemporalFeatureSelector(SpatialSelector):
         dm = np.where(np.isfinite(dm), dm, 3.0)
         sampled = self.get_sampled()
         selected = self.kcenter_on_map(dm)
-        self.selected_index[self.current_budget] = sampled + selected
+        self.selected_index[self.current_budget] = self.round_lineage() + selected

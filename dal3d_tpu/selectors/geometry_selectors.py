@@ -32,7 +32,7 @@ class RandomSelector(BaseSelector):
                 break
             selected.append(idx)
             left.remove(idx)
-        self.selected_index[self.current_budget] = selected + sampled
+        self.selected_index[self.current_budget] = selected + self.round_lineage()
 
 
 class _LogMixin:
@@ -73,7 +73,7 @@ class SpatialSelector(BaseSelector, _LogMixin):
         dm = np.where(np.isfinite(dm), dm, dm[np.isfinite(dm)].max() * 2)
         sampled = self.get_sampled()
         selected = self.kcenter_on_map(dm)
-        self.selected_index[self.current_budget] = sampled + selected
+        self.selected_index[self.current_budget] = self.round_lineage() + selected
 
 
 @SELECTORS.register_module
@@ -89,7 +89,7 @@ class EuSpatialSelector(BaseSelector, _LogMixin):
         dm = maps.euclidean_spatial_map(self.ego_locations(), self._scenes())
         sampled = self.get_sampled()
         selected = self.kcenter_on_map(dm)
-        self.selected_index[self.current_budget] = sampled + selected
+        self.selected_index[self.current_budget] = self.round_lineage() + selected
 
 
 @SELECTORS.register_module
@@ -101,7 +101,7 @@ class TemporalSelector(BaseSelector):
         dm, _ = maps.temporal_map(self.logfiles())
         sampled = self.get_sampled()
         selected = self.kcenter_on_map(dm)
-        self.selected_index[self.current_budget] = sampled + selected
+        self.selected_index[self.current_budget] = self.round_lineage() + selected
 
 
 @SELECTORS.register_module
@@ -136,4 +136,4 @@ class SpatialTemporalSelector(SpatialSelector):
         dm = np.where(np.isfinite(dm), dm, 2.0)
         sampled = self.get_sampled()
         selected = self.kcenter_on_map(dm)
-        self.selected_index[self.current_budget] = sampled + selected
+        self.selected_index[self.current_budget] = self.round_lineage() + selected

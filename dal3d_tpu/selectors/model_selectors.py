@@ -66,7 +66,7 @@ class FeatureSelector(_ModelSelectorBase):
         s = self.scoring()
         sampled = self.get_sampled()
         selected = self.kcenter_embed(s["embedding"])
-        self.selected_index[self.current_budget] = sampled + selected
+        self.selected_index[self.current_budget] = self.round_lineage() + selected
 
 
 @SELECTORS.register_module
@@ -79,7 +79,7 @@ class EntropySelector(_ModelSelectorBase):
         sampled = self.get_sampled()
         ent = np.asarray(s["score_entropy"]).copy()
         selected = self.topk_by_score(ent, exclude=sampled)
-        self.selected_index[self.current_budget] = selected + sampled
+        self.selected_index[self.current_budget] = selected + self.round_lineage()
 
 
 @SELECTORS.register_module
@@ -92,7 +92,7 @@ class BadgeSelector(_ModelSelectorBase):
         weighted = s["embedding"] * s["score_entropy"][:, None]
         sampled = self.get_sampled()
         selected = self.kcenter_embed(weighted)
-        self.selected_index[self.current_budget] = sampled + selected
+        self.selected_index[self.current_budget] = self.round_lineage() + selected
 
 
 @SELECTORS.register_module
@@ -108,7 +108,7 @@ class UWESelector(_ModelSelectorBase):
         weighted = s["embedding"] * norm[:, None]
         sampled = self.get_sampled()
         selected = self.kcenter_embed(weighted)
-        self.selected_index[self.current_budget] = sampled + selected
+        self.selected_index[self.current_budget] = self.round_lineage() + selected
 
 
 @SELECTORS.register_module
@@ -143,7 +143,7 @@ class PPALSelector(_ModelSelectorBase):
         pool_budget = float(self.current_budget) + self.budget * (self.delta - 1)
         initial_pool = self.topk_by_score(went, budget=pool_budget, exclude=sampled)
         selected = self.kcenter_embed(s["embedding"], restrict_to=initial_pool)
-        self.selected_index[self.current_budget] = selected + sampled
+        self.selected_index[self.current_budget] = selected + self.round_lineage()
 
 
 @SELECTORS.register_module
@@ -187,4 +187,4 @@ class CaldSelector(BaseSelector):
             if cost > int(self.current_budget) and selected:
                 break
             selected.append(idx)
-        self.selected_index[self.current_budget] = selected + sampled
+        self.selected_index[self.current_budget] = selected + self.round_lineage()

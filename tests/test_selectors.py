@@ -228,3 +228,16 @@ def test_streaming_kcenter_matches_matrix(synth_env):
     a = pick(dict(type="PPALSelector", diff_file=diff_file, delta=1.5, streaming=False))
     b = pick(dict(type="PPALSelector", diff_file=diff_file, delta=1.5, streaming=True))
     assert a == b
+
+
+def test_exclude_buffer_blocks_seed_frames(synth_env):
+    """exclude_buffer (the partial pipeline's seed set) removes externally
+    labeled frames from the candidate pool — they are never re-selected."""
+    env = synth_env
+    seed_file = os.path.join(env["tmp"], "seed.json")
+    seed_ids = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+    dump({"partial_01": seed_ids}, seed_file)
+    chosen = _run(env, dict(type="SpatialTemporalSelector",
+                            logs_file=env["logs_file"],
+                            exclude_buffer=seed_file), budget=3)
+    assert not set(chosen) & set(seed_ids), (chosen, seed_ids)
