@@ -96,7 +96,9 @@ def build_pipeline(pipeline_cfgs: List[dict], tasks=None, max_points=300000,
             stages.append(ReformatCamera(**cfg))
         elif t in ("FrameDropout", "PointSample", "BackgroundPointsFilter",
                    "VoxelBasedPointSampler", "ImagePad", "ImageDistort",
-                   "PhotoMetricDistortionMultiViewImage"):
+                   "PhotoMetricDistortionMultiViewImage", "GlobalRotScaleTrans",
+                   "RandomFlip3D", "ObjectPaste", "ObjectNoise", "PointShuffle",
+                   "ObjectRangeFilter", "PointsRangeFilter", "ObjectNameFilter"):
             from ..pipelines import transforms_extra as tx
 
             cls = {
@@ -107,7 +109,16 @@ def build_pipeline(pipeline_cfgs: List[dict], tasks=None, max_points=300000,
                 "ImagePad": tx.ImagePad,
                 "ImageDistort": tx.ImageDistort,
                 "PhotoMetricDistortionMultiViewImage": tx.ImageDistort,
+                "GlobalRotScaleTrans": tx.GlobalRotScaleTrans,
+                "RandomFlip3D": tx.RandomFlip3D,
+                "ObjectPaste": tx.ObjectPaste,
+                "ObjectNoise": tx.ObjectNoise,
+                "PointShuffle": tx.PointShuffle,
+                "ObjectRangeFilter": tx.ObjectRangeFilter,
+                "PointsRangeFilter": tx.PointsRangeFilter,
+                "ObjectNameFilter": tx.ObjectNameFilter,
             }[t]
+            cfg.pop("is_train", None)  # train/val picked from res["mode"]
             stages.append(cls(**cfg))
         else:
             raise KeyError(f"unknown pipeline stage {t}")

@@ -16,10 +16,26 @@ bevfusion/mmdet3d/datasets/pipelines/transforms_3d.py):
   fixed size or a size divisor)
 - ImageDistort            — transforms_3d.py:921 (photometric distortion:
   brightness / contrast / saturation / hue / channel swap)
+- GlobalRotScaleTrans     — transforms_3d.py:124 (scene rotation / scale /
+  normal translation, aug matrix recorded for the camera branch)
+- RandomFlip3D            — transforms_3d.py:247 (independent x/y flips of
+  points, boxes and the BEV seg masks)
+- ObjectPaste             — transforms_3d.py:276 (GT-AUG paste with mmdet3d's
+  remove-points-in-sampled-boxes semantics + stop_epoch)
+- ObjectNoise             — transforms_3d.py:372 (per-object jitter; wraps
+  augment.noise_per_object)
+- PointShuffle            — transforms_3d.py:447
+- ObjectRangeFilter       — transforms_3d.py:454 (BEV-range box filter +
+  yaw limiting)
+- PointsRangeFilter       — transforms_3d.py:504
+- ObjectNameFilter        — transforms_3d.py:529
 
 All stages use this package's ``(res, info) -> (res, info)`` contract with
 points at ``res["lidar"]["points"]`` and images at
-``res["camera"]["np_images"]`` (camera.py conventions).
+``res["camera"]["np_images"]`` (camera.py conventions). Annotation stages
+accept both the loader's raw key set (``boxes``/``names``/...) and the
+post-``Preprocess`` key set (``gt_boxes``/``gt_names``/``gt_classes``),
+keeping every parallel per-box array consistent under filtering.
 """
 from __future__ import annotations
 
@@ -253,4 +269,317 @@ class ImageDistort:
         arrs = cam.get("np_images") or [np.asarray(i, np.float32)
                                         for i in cam["pil_images"]]
         cam["np_images"] = [self._one(a) for a in arrs]
+        return res, info
+
+
+# ---------------------------------------------------------------------------
+# annotation-dict helpers: stages below work both before Preprocess (loader
+# keys: boxes/names/tokens/velocities) and after it (gt_boxes/gt_names/
+# gt_classes), editing every parallel per-box array consistently.
+# ---------------------------------------------------------------------------
+
+_BOX_KEY_SETS = (("gt_boxes", ("gt_names", "gt_classes")),
+                 ("boxes", ("names", "tokens", "velocities")))
+
+
+def _anno(res: dict) -> Optional[dict]:
+    return res.get("lidar", {}).get("annotations")
+
+
+def _anno_boxes(anno: dict):
+    """(box_key, boxes [N,>=7] float) for either annotation key set."""
+    for key, _ in _BOX_KEY_SETS:
+        if key in anno:
+            return key, np.asarray(anno[key], np.float32)
+    raise KeyError(f"no box array in annotations: {sorted(anno)}")
+
+
+def _anno_select(anno: dict, mask: np.ndarray) -> None:
+    """Filter the box array and every parallel per-box array by ``mask``."""
+    for key, parallels in _BOX_KEY_SETS:
+        if key not in anno:
+            continue
+        n = len(np.asarray(anno[key]))
+        anno[key] = np.asarray(anno[key])[mask]
+        for p in parallels:
+            if p in anno and len(np.asarray(anno[p])) == n:
+                anno[p] = np.asarray(anno[p])[mask]
+        return
+    raise KeyError(f"no box array in annotations: {sorted(anno)}")
+
+
+class GlobalRotScaleTrans:
+    """Scene-level rotation / scaling / translation (mmdet3d
+    transforms_3d.py:124). Train-only; composes the flip-free lidar aug
+    matrix ``res["lidar"]["aug_matrix"]`` (3x3, row-vector convention, same
+    as Preprocess) so the camera branch keeps its extrinsics consistent.
+
+    rot_lim/resize_lim are (lo, hi); trans_lim is the per-axis std of the
+    normal translation noise (mmdet3d uses a scalar std for all 3 axes)."""
+
+    def __init__(self, resize_lim=(0.95, 1.05), rot_lim=(-0.3925, 0.3925),
+                 trans_lim: float = 0.0,
+                 rng: Optional[np.random.RandomState] = None, **kwargs):
+        self.resize_lim = tuple(resize_lim)
+        self.rot_lim = tuple(rot_lim)
+        self.trans_lim = float(trans_lim)
+        self.rng = rng or np.random.RandomState()
+
+    def __call__(self, res: dict, info: dict):
+        if res.get("mode") not in (None, "train"):
+            return res, info
+        from . import augment
+
+        anno = _anno(res)
+        pts = res["lidar"]["points"]
+        key, boxes = (None, np.zeros((0, 9), np.float32))
+        if anno is not None:
+            key, boxes = _anno_boxes(anno)
+        rec: dict = {}
+        boxes, pts = augment.global_rotation(boxes, pts, rotation=self.rot_lim,
+                                             rng=self.rng, record=rec)
+        if self.trans_lim > 0:
+            t = self.rng.normal(0.0, self.trans_lim, size=3)
+            pts[:, :3] += t
+            boxes[:, :3] += t
+            rec["translation"] = t
+        boxes, pts = augment.global_scaling_v2(boxes, pts, *self.resize_lim,
+                                               rng=self.rng, record=rec)
+        if anno is not None:
+            anno[key] = boxes
+        res["lidar"]["points"] = pts
+        ang = rec.get("rotation", 0.0)
+        c, s = np.cos(ang), np.sin(ang)
+        A = np.array([[c, s, 0.0], [-s, c, 0.0], [0.0, 0.0, 1.0]])
+        A = rec.get("scale", 1.0) * A
+        prev = res["lidar"].get("aug_matrix")
+        res["lidar"]["aug_matrix"] = (
+            A @ prev if prev is not None else A).astype(np.float32)
+        res["lidar"]["aug_translation"] = (
+            rec.get("translation", np.zeros(3))
+            * rec.get("scale", 1.0)).astype(np.float32)
+        return res, info
+
+
+class RandomFlip3D:
+    """Independent 0.5-probability x and y flips of points / boxes / BEV seg
+    masks (mmdet3d transforms_3d.py:247); composes the aug matrix."""
+
+    def __init__(self, probability: float = 0.5,
+                 rng: Optional[np.random.RandomState] = None, **kwargs):
+        self.probability = probability
+        self.rng = rng or np.random.RandomState()
+
+    def __call__(self, res: dict, info: dict):
+        if res.get("mode") not in (None, "train"):
+            return res, info
+        from . import augment
+
+        anno = _anno(res)
+        pts = res["lidar"]["points"]
+        key, boxes = (None, np.zeros((0, 9), np.float32))
+        if anno is not None:
+            key, boxes = _anno_boxes(anno)
+        rec: dict = {}
+        boxes, pts = augment.random_flip_both(boxes, pts,
+                                              probability=self.probability,
+                                              rng=self.rng, record=rec)
+        if anno is not None:
+            anno[key] = boxes
+        res["lidar"]["points"] = pts
+        if "gt_masks_bev" in res:  # [C, Wc, Hc]: axis 1 follows x, axis 2 y
+            m = res["gt_masks_bev"]
+            if rec.get("flip_y"):
+                m = m[:, :, ::-1]
+            if rec.get("flip_x"):
+                m = m[:, ::-1, :]
+            res["gt_masks_bev"] = np.ascontiguousarray(m)
+        A = np.eye(3)
+        if rec.get("flip_y"):
+            A = np.diag([1.0, -1.0, 1.0]) @ A
+        if rec.get("flip_x"):
+            A = np.diag([-1.0, 1.0, 1.0]) @ A
+        prev = res["lidar"].get("aug_matrix")
+        res["lidar"]["aug_matrix"] = (
+            A @ prev if prev is not None else A).astype(np.float32)
+        return res, info
+
+
+class ObjectPaste:
+    """Standalone GT-AUG paste (mmdet3d transforms_3d.py:276): sample boxes
+    from the database, REMOVE scene points inside the sampled boxes (the
+    mmdet3d semantics; det3d's Preprocess paste keeps them), and prepend the
+    sampled object points. ``stop_epoch`` disables pasting from that epoch on
+    (set via set_epoch, mirroring mmdet3d's fade-aug schedule)."""
+
+    def __init__(self, db_sampler: dict, sample_2d: bool = False,
+                 stop_epoch: Optional[int] = None, **kwargs):
+        from ..sampler import DataBaseSamplerV2, build_db_preprocessors
+
+        db_cfg = dict(db_sampler)
+        prep = build_db_preprocessors(db_cfg.get("db_prep_steps", []))
+        try:
+            self.db_sampler = DataBaseSamplerV2(
+                db_cfg["db_info_path"],
+                [dict(g) for g in db_cfg.get("sample_groups", [])],
+                db_prepor=prep,
+                rate=db_cfg.get("rate", 1.0),
+            )
+        except FileNotFoundError:
+            self.db_sampler = None
+        self.sample_2d = sample_2d
+        self.stop_epoch = stop_epoch
+        self.epoch = -1
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __call__(self, res: dict, info: dict):
+        if res.get("mode") not in (None, "train") or self.db_sampler is None:
+            return res, info
+        if self.stop_epoch is not None and self.epoch >= self.stop_epoch:
+            return res, info
+        anno = _anno(res)
+        if anno is None:
+            return res, info
+        key, boxes = _anno_boxes(anno)
+        names_key = "gt_names" if key == "gt_boxes" else "names"
+        names = np.asarray(anno[names_key])
+        pts = res["lidar"]["points"]
+        sampled = self.db_sampler.sample_all(
+            res.get("metadata", {}).get("image_prefix", ""),
+            boxes, names, num_point_features=pts.shape[1],
+        )
+        if sampled is None:
+            return res, info
+        sb = np.asarray(sampled["gt_boxes"], np.float32)
+        if sb.shape[1] < boxes.shape[1]:
+            sb = np.hstack([sb[:, :-1],
+                            np.zeros((len(sb), boxes.shape[1] - sb.shape[1]),
+                                     np.float32), sb[:, -1:]])
+        anno[key] = np.concatenate([boxes, sb[:, :boxes.shape[1]]])
+        anno[names_key] = np.concatenate([names, sampled["gt_names"]])
+        if key == "boxes":  # keep the loader's parallel arrays aligned
+            ns = len(sampled["gt_names"])
+            if "tokens" in anno:
+                anno["tokens"] = np.concatenate(
+                    [np.asarray(anno["tokens"]), np.asarray([""] * ns)])
+            if "velocities" in anno:
+                anno["velocities"] = np.concatenate(
+                    [np.asarray(anno["velocities"], np.float32),
+                     np.zeros((ns, 3), np.float32)])
+        elif "gt_classes" in anno:
+            # classes must be re-derived by the caller; drop to stay honest
+            anno.pop("gt_classes")
+        inside = box_np_ops.points_in_rbbox(pts, sb[:, [0, 1, 2, 3, 4, 5, -1]]
+                                            if sb.shape[1] > 7 else sb)
+        pts = pts[~inside.any(-1)]
+        sp = np.asarray(sampled["points"], np.float32)
+        if sp.shape[1] < pts.shape[1]:
+            sp = np.hstack([sp, np.zeros((len(sp), pts.shape[1] - sp.shape[1]),
+                                         sp.dtype)])
+        res["lidar"]["points"] = np.concatenate([sp, pts], axis=0)
+        return res, info
+
+
+class ObjectNoise:
+    """Per-object pose jitter (mmdet3d transforms_3d.py:372); wraps
+    augment.noise_per_object (full collision-tested candidate semantics)."""
+
+    def __init__(self, translation_std=(0.25, 0.25, 0.25),
+                 global_rot_range=(0.0, 0.0),
+                 rot_range=(-0.15707963267, 0.15707963267),
+                 num_try: int = 100,
+                 rng: Optional[np.random.RandomState] = None, **kwargs):
+        assert tuple(global_rot_range) == (0.0, 0.0), \
+            "global_rot_range is unused by every shipped config"
+        self.translation_std = tuple(translation_std)
+        self.rot_range = tuple(rot_range)
+        self.num_try = num_try
+        self.rng = rng or np.random.RandomState()
+
+    def __call__(self, res: dict, info: dict):
+        if res.get("mode") not in (None, "train"):
+            return res, info
+        from . import augment
+
+        anno = _anno(res)
+        if anno is None:
+            return res, info
+        key, boxes = _anno_boxes(anno)
+        pts = res["lidar"]["points"]
+        augment.noise_per_object(boxes, pts,
+                                 rotation_perturb=self.rot_range,
+                                 center_noise_std=self.translation_std,
+                                 num_try=self.num_try, rng=self.rng)
+        anno[key] = boxes
+        res["lidar"]["points"] = pts
+        return res, info
+
+
+class PointShuffle:
+    def __init__(self, rng: Optional[np.random.RandomState] = None, **kwargs):
+        self.rng = rng or np.random.RandomState()
+
+    def __call__(self, res: dict, info: dict):
+        self.rng.shuffle(res["lidar"]["points"])
+        return res, info
+
+
+class ObjectRangeFilter:
+    """Keep boxes whose BEV center lies in [x0,y0,x3,y4] and limit yaw to
+    [-pi, pi) (mmdet3d transforms_3d.py:454)."""
+
+    def __init__(self, point_cloud_range, **kwargs):
+        self.pcd_range = np.asarray(point_cloud_range, np.float32)
+
+    def __call__(self, res: dict, info: dict):
+        anno = _anno(res)
+        if anno is None:
+            return res, info
+        key, boxes = _anno_boxes(anno)
+        bev = self.pcd_range[[0, 1, 3, 4]]
+        mask = ((boxes[:, 0] >= bev[0]) & (boxes[:, 0] < bev[2])
+                & (boxes[:, 1] >= bev[1]) & (boxes[:, 1] < bev[3]))
+        _anno_select(anno, mask)
+        _, boxes = _anno_boxes(anno)
+        if len(boxes):
+            boxes[:, -1] = box_np_ops.limit_period(
+                boxes[:, -1], offset=0.5, period=2 * np.pi)
+            anno[key] = boxes
+        return res, info
+
+
+class PointsRangeFilter:
+    """Keep points inside the 3D point-cloud range (transforms_3d.py:504)."""
+
+    def __init__(self, point_cloud_range, **kwargs):
+        self.pcd_range = np.asarray(point_cloud_range, np.float32)
+
+    def __call__(self, res: dict, info: dict):
+        pts = res["lidar"]["points"]
+        r = self.pcd_range
+        mask = ((pts[:, 0] >= r[0]) & (pts[:, 0] < r[3])
+                & (pts[:, 1] >= r[1]) & (pts[:, 1] < r[4])
+                & (pts[:, 2] >= r[2]) & (pts[:, 2] < r[5]))
+        res["lidar"]["points"] = pts[mask]
+        return res, info
+
+
+class ObjectNameFilter:
+    """Keep boxes whose class name is in ``classes`` (transforms_3d.py:529;
+    the reference filters by label id — names are this package's labels)."""
+
+    def __init__(self, classes: Sequence[str], **kwargs):
+        self.classes = list(classes)
+
+    def __call__(self, res: dict, info: dict):
+        anno = _anno(res)
+        if anno is None:
+            return res, info
+        key, _ = _anno_boxes(anno)
+        names_key = "gt_names" if key == "gt_boxes" else "names"
+        names = np.asarray(anno[names_key])
+        mask = np.array([n in self.classes for n in names], bool)
+        _anno_select(anno, mask)
         return res, info

@@ -28,6 +28,24 @@ from ..layers import kaiming_conv_init
 from ..losses.losses import prepare_loss_weights, sigmoid_focal_loss, weighted_smooth_l1
 from ..registry import HEADS
 
+_approx_topk_warned = False
+
+
+def _warn_approx_topk_once():
+    """One-time trace-time notice that the pre-NMS candidate select uses
+    approx_max_k (~0.95 recall) — set TestConfig.use_approx_topk=False for
+    exact-reference decode when benchmarking mAP against the PyTorch side."""
+    global _approx_topk_warned
+    if not _approx_topk_warned:
+        _approx_topk_warned = True
+        import logging
+
+        logging.getLogger(__name__).info(
+            "multi_group_predict: using approx_max_k (~0.95 recall) for the "
+            "pre-NMS candidate select; set test_cfg.use_approx_topk=False "
+            "for exact parity decode"
+        )
+
 
 @HEADS.register_module
 class MultiGroupHead(nn.Module):
@@ -181,6 +199,7 @@ def multi_group_predict(
                 )
         masked = jnp.where(top_scores >= cfg.score_threshold, top_scores, -jnp.inf)
         if cfg.use_approx_topk and masked.shape[-1] > 4 * pre:
+            _warn_approx_topk_once()
             csc, cidx = jax.lax.approx_max_k(masked, pre)  # [B, pre]
         else:
             csc, cidx = jax.lax.top_k(masked, pre)  # [B, pre]
