@@ -9,9 +9,16 @@ Baseline: the PyTorch reference runs CBGS VoxelNet inference at roughly
 20 scans/sec on a single A100-class GPU (SECOND/CBGS literature + reference
 benchmark harness bevfusion/tools/benchmark.py); BASELINE.md's target is
 >=2x A100 per chip, so vs_baseline = scans_per_sec / 20.0.
+
+Engine selection: BENCH_IMPL=brick|banded|hybrid|gather pins one sparse
+engine. With BENCH_IMPL unset the harness A/B-tests the two production
+engines — brick inline, banded in a timeout-guarded subprocess (a banded
+hang/crash cannot take down the whole bench) — and reports the faster.
+BENCH_AUTO=0 disables the A/B and pins brick.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -20,28 +27,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dal3d_tpu.utils.platform import setup_jax
 
 
-def main():
+def measure_throughput(impl: str | None):
+    """Compile + time the jitted predict path; returns (scans/s, B)."""
     jax = setup_jax()
     import numpy as np
     import jax.numpy as jnp
 
-    from dal3d_tpu.core.anchors import generate_task_anchors
-    from dal3d_tpu.core.box_coders import GroundBox3dCoder
-    from dal3d_tpu.core.target_assigner import DeviceTargetAssigner
-    from dal3d_tpu.models import FPNVoxelNet
-    from dal3d_tpu.models.builder import DetectorBundle
-    from dal3d_tpu.models.heads.mg_head import LossConfig, TestConfig
+    from dal3d_tpu.utils import Config
+    from dal3d_tpu.models.builder import build_detector
     from dal3d_tpu.runtime.steps import create_train_state, make_predict_step
     from dal3d_tpu.solver.optim import OneCycleSchedule, build_optimizer
-    from dal3d_tpu.ops.voxelize import VoxelConfig
-    from dal3d_tpu.utils import Config
 
     cfg = Config.fromfile(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                        "configs", "cbgs_spatial_temporal.py"))
-    from dal3d_tpu.models.builder import build_detector
-
-    # engine A/B without editing configs: BENCH_IMPL=brick|banded|hybrid|gather
-    impl = os.environ.get("BENCH_IMPL")
     if impl:
         cfg["model"]["backbone"]["impl"] = impl
     bundle = build_detector(cfg)
@@ -113,7 +111,53 @@ def main():
         prev = out
     float(prev["scores"].sum())
     dt = (time.perf_counter() - t0) / n_iter
-    scans_per_sec = B / dt
+    return B / dt
+
+
+def _subprocess_throughput(impl: str, timeout_s: float):
+    """Measure one engine in an isolated subprocess (hang/crash-proof).
+
+    Returns scans/s or None on any failure."""
+    env = dict(os.environ, BENCH_IMPL=impl, BENCH_INNER="1")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"bench[auto]: {impl} timed out after {timeout_s:.0f}s",
+              file=sys.stderr)
+        return None
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            try:
+                return float(json.loads(line)["value"])
+            except (ValueError, KeyError):
+                break
+    print(f"bench[auto]: {impl} failed (rc={out.returncode}): "
+          f"{out.stderr.strip().splitlines()[-3:]}", file=sys.stderr)
+    return None
+
+
+def main():
+    impl = os.environ.get("BENCH_IMPL")
+    if os.environ.get("BENCH_INNER"):
+        sps = measure_throughput(impl)
+        print(json.dumps({"metric": "inner_throughput", "value": round(sps, 3),
+                          "impl": impl or "config-default"}))
+        return
+
+    engine = impl or "brick"
+    scans_per_sec = measure_throughput(impl or "brick")
+    if impl is None and os.environ.get("BENCH_AUTO", "1") != "0":
+        # A/B the banded MXU engine in a guarded subprocess; keep the winner
+        budget = float(os.environ.get("BENCH_AUTO_TIMEOUT", 1500))
+        banded = _subprocess_throughput("banded", budget)
+        print(f"bench[auto]: brick {scans_per_sec:.3f} vs banded "
+              f"{banded if banded is None else round(banded, 3)} scans/s",
+              file=sys.stderr)
+        if banded is not None and banded > scans_per_sec:
+            engine, scans_per_sec = "banded", banded
 
     # --- AL pool-scoring pass (BASELINE.md: first-class metric) -----------
     # production pool: ~28k unlabeled frames; the selection step is the
@@ -122,6 +166,9 @@ def main():
     # production path, selectors/base_selector.py picks it automatically).
     # scoring_s is the embedding-extraction pass at the measured model
     # throughput (the pool pass runs the same jitted predict).
+    jax = setup_jax()
+    import jax.numpy as jnp
+
     from dal3d_tpu.ops.kcenter import kcenter_features
 
     N_POOL, D, AL_BUDGET = 28130, 512, 600
@@ -153,6 +200,7 @@ def main():
         "value": round(scans_per_sec, 3),
         "unit": "scans/sec/chip",
         "vs_baseline": round(scans_per_sec / 20.0, 3),
+        "engine": engine,
         "pool_scoring": {
             "metric": "al_pool_scoring_wall_time",
             "n_frames": N_POOL,
