@@ -255,10 +255,11 @@ def _compact_cells_spatial(cells: jnp.ndarray, nbc: int, cap: int,
     )[:cap]
 
 
-def brick_stats(cand: jnp.ndarray, nbc: int, cap: int) -> jnp.ndarray:
+def brick_stats(cand: jnp.ndarray, nbc: int, cap: int = 0) -> jnp.ndarray:
     """Active-brick count of a candidate list (observability: count > cap
     means the compaction truncated — ADVICE r2: capacity overflow must be
-    visible). Returns a scalar int32 per call."""
+    visible). ``cap`` is documentation-only (the comparison happens at the
+    caller). Returns a scalar int32 per call."""
     N = cand.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
     grid = jnp.full((nbc + 1,), -1, jnp.int32).at[jnp.minimum(cand, nbc)].set(
@@ -783,19 +784,14 @@ def downsample_conv_banded(bb: BrickBatch, weights: jnp.ndarray, kernel_size,
     )
 
 
-def from_voxels(features: jnp.ndarray, coords_zyx: jnp.ndarray, valid: jnp.ndarray,
-                shape, bw: int, mb_cap: int, spatial: bool = False) -> BrickBatch:
-    """Voxelizer output (any row order) -> BrickBatch.
+def _brick_candidates(coords_zyx: jnp.ndarray, valid: jnp.ndarray, shape, bw: int):
+    """Candidate brick cells (incl. halo dilation) of a voxel list.
 
-    features [B, N, C], coords_zyx [B, N, 3], valid [B, N]. Beyond mb_cap
-    the LATEST-appearing bricks in the candidate list are dropped (first-
-    appearance compaction order, not cell order). spatial=True compacts in
-    y-major order instead (required by the banded engine, ops.banded)."""
+    Returns (cand [B, >=N], cell [B, N], wpos [B, N], nbc, Wb)."""
     D, H, W = (int(s) for s in shape)
     assert W % bw == 0, f"W={W} not divisible by brick width {bw}"
     Wb = W // bw
     nbc = D * H * Wb
-    B, N, C = features.shape
 
     z, y, x = coords_zyx[..., 0], coords_zyx[..., 1], coords_zyx[..., 2]
     cell = (z * H + y) * Wb + x // bw
@@ -817,6 +813,29 @@ def from_voxels(features: jnp.ndarray, coords_zyx: jnp.ndarray, valid: jnp.ndarr
         dil_r = jnp.where(valid & (x // bw < Wb - 1), cell + 1, nbc)
         cand = jnp.concatenate(
             [cell, dil_l.astype(jnp.int32), dil_r.astype(jnp.int32)], -1)
+    return cand, cell, wpos, nbc, Wb
+
+
+def count_active_bricks(coords_zyx: jnp.ndarray, valid: jnp.ndarray, shape,
+                        bw: int) -> jnp.ndarray:
+    """TRUE (uncapped) active-brick count [B] a from_voxels pack would need —
+    capacity observability (ADVICE r2): compare against mb_cap to detect
+    silent truncation before/while training."""
+    cand, _, _, nbc, _ = _brick_candidates(coords_zyx, valid, shape, bw)
+    return jax.vmap(lambda c: brick_stats(c, nbc))(cand)
+
+
+def from_voxels(features: jnp.ndarray, coords_zyx: jnp.ndarray, valid: jnp.ndarray,
+                shape, bw: int, mb_cap: int, spatial: bool = False) -> BrickBatch:
+    """Voxelizer output (any row order) -> BrickBatch.
+
+    features [B, N, C], coords_zyx [B, N, 3], valid [B, N]. Beyond mb_cap
+    the LATEST-appearing bricks in the candidate list are dropped (first-
+    appearance compaction order, not cell order). spatial=True compacts in
+    y-major order instead (required by the banded engine, ops.banded)."""
+    D, H, W = (int(s) for s in shape)
+    B, N, C = features.shape
+    cand, cell, wpos, nbc, Wb = _brick_candidates(coords_zyx, valid, shape, bw)
 
     def per_batch(cand, cell, wpos, feat, vld):
         if spatial:

@@ -62,6 +62,7 @@ class Trainer:
         self.lr_fn = one_cycle_lr(one_cycle_cfg) if one_cycle_cfg is not None else None
         self.state: Optional[TrainState] = None
         self.epoch = 0
+        self._capacity_checked = False
         from .tb_logger import TensorboardLogger
 
         self.tb = TensorboardLogger(work_dir) if get_dist_info()[0] == 0 else None
@@ -91,6 +92,13 @@ class Trainer:
         for i, batch in enumerate(loader):
             data_time = time.perf_counter() - t_data
             batch = {k: v for k, v in batch.items() if k != "metadata"}
+            if not self._capacity_checked and rank == 0:
+                # one-shot brick-capacity observability (runtime/capacity.py):
+                # saturated levels silently truncate — surface it in the log
+                self._capacity_checked = True
+                from .capacity import log_capacity_report
+
+                log_capacity_report(self, batch)
             if self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
                 # ambient mesh: in-model bev_constraint picks up the 'model'
