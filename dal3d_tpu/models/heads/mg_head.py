@@ -218,17 +218,20 @@ def multi_group_predict(
     labels_all = jnp.stack(cand_labels).reshape(T * B, pre)
     valid_all = jnp.isfinite(scores_all)
 
-    from ...ops.rotated_iou_fast import rotated_iou_matrix_greens
+    from ...ops.pallas_iou import rotated_iou_matrix_batched
     from ...ops.nms import greedy_nms_from_iou
 
-    def suppress(boxes, sc, valid):
-        bev = boxes[:, jnp.array([0, 1, 3, 4, 8])]
-        iou = rotated_iou_matrix_greens(bev, bev)
+    # IoU matrices for all T*B candidate sets in one batched call (the Pallas
+    # tile kernel runs them as one grid; the XLA fallback vmaps)
+    bev_all = boxes_all[:, :, jnp.array([0, 1, 3, 4, 8])]
+    iou_all = rotated_iou_matrix_batched(bev_all, bev_all)
+
+    def suppress(iou, sc, valid):
         keep = greedy_nms_from_iou(iou, valid, cfg.nms_iou_threshold)
         ks, sel = jax.lax.top_k(jnp.where(keep, sc, -jnp.inf), cfg.nms_post_max_size)
         return sel, jnp.isfinite(ks)
 
-    sel, kv = jax.vmap(suppress)(boxes_all, scores_all, valid_all)
+    sel, kv = jax.vmap(suppress)(iou_all, scores_all, valid_all)
     sel_boxes = jnp.take_along_axis(boxes_all, sel[..., None], axis=1)
     sel_scores = jnp.take_along_axis(scores_all, sel, axis=1)
     sel_labels = jnp.take_along_axis(labels_all, sel, axis=1)
