@@ -94,6 +94,24 @@ def measure_throughput(impl: str | None):
     # ~10 MB/call of H2D traffic the model never reads
     pb = {k: batch[k] for k in ("voxel_features", "voxel_coords", "voxel_valid")}
 
+    # host brick-pack plan (native brick_pack_plan): the loader ships it with
+    # the voxels so the brick/banded L0 skips its on-device pack compaction
+    from dal3d_tpu.models.builder import host_voxelize_cfg
+
+    bp = (host_voxelize_cfg(cfg) or {}).get("brick")
+    if bp:
+        D, Hs, Ws = (41, 1024, 1024)
+        rows = np.full((B, M), -1, np.int32)
+        lins = np.zeros((B, bp["mb_cap"]), np.int32)
+        for b in range(B):
+            nvb = int(vv[b].sum())
+            lin, r, _ = host_ops.brick_pack_plan(
+                vc[b, :nvb], (D, Hs, Ws), bp["bw"], bp["mb_cap"], bp["spatial"])
+            rows[b, :nvb] = r
+            lins[b] = lin
+        pb["brick_row"] = jnp.asarray(rows)
+        pb["brick_lin"] = jnp.asarray(lins)
+
     # warmup / compile (force a value fetch: block_until_ready is a no-op on
     # relayed TPU backends)
     out = predict(state.params, state.batch_stats, pb)

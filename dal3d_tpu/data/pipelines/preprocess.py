@@ -191,6 +191,25 @@ class ReformatFixedShape:
             example["voxel_features"] = feat
             example["voxel_coords"] = vcoords
             example["voxel_valid"] = vvalid
+            bp = vh.get("brick")
+            if bp:
+                # host brick-pack plan for the brick/banded L0 engines
+                # (native brick_pack_plan) — (bw, mb_cap, spatial) must match
+                # the backbone's L0 knobs (models/builder.py wires them)
+                grid = np.round(
+                    (np.asarray(vh["range"][3:]) - np.asarray(vh["range"][:3]))
+                    / np.asarray(vh["voxel_size"])
+                ).astype(np.int64)
+                shape = (int(grid[2]) + 1, int(grid[1]), int(grid[0]))
+                lin, row, cnt = host_ops.brick_pack_plan(
+                    coords, shape, int(bp["bw"]), int(bp["mb_cap"]),
+                    bool(bp.get("spatial", False)),
+                )
+                rowp = np.full((M,), -1, np.int32)
+                rowp[:n] = row
+                example["brick_row"] = rowp
+                example["brick_lin"] = lin
+                example["brick_count"] = np.int32(cnt)
 
         if res.get("mode") == "train":
             gt = res["lidar"]["annotations"]

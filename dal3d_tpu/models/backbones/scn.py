@@ -264,12 +264,21 @@ class FPNSpMiddleResNetFHD(nn.Module):
             wexts = (W, W // 2, W // 4, W // 8, W // 8)
             ws = [min(int(b), max(we, 1)) for b, we in zip(self.brick_widths, wexts)]
             caps = [int(c) for c in (self.banded_caps if banded else self.brick_caps)]
-            bb = (
-                spb.from_voxels(sb[0], sb[1], sb[2], (D, H, W), bw=ws[0],
-                                mb_cap=caps[0], spatial=banded)
-                if raw else spb.from_sparse(sb, bw=ws[0], mb_cap=caps[0],
-                                            spatial=banded)
-            )
+            if raw and len(sb) >= 6 and sb[4] is not None:
+                # host-precomputed pack plan (native brick_pack_plan) — must
+                # have been built with this engine's (bw, cap, spatial) knobs
+                assert sb[5].shape[1] == caps[0], (
+                    f"host brick plan capacity {sb[5].shape[1]} != backbone "
+                    f"L0 cap {caps[0]}"
+                )
+                bb = spb.from_voxels_planned(sb[0], sb[1], sb[2], (D, H, W),
+                                             bw=ws[0], row=sb[4], brick_lin=sb[5])
+            elif raw:
+                bb = spb.from_voxels(sb[0], sb[1], sb[2], (D, H, W), bw=ws[0],
+                                     mb_cap=caps[0], spatial=banded)
+            else:
+                bb = spb.from_sparse(sb, bw=ws[0], mb_cap=caps[0],
+                                     spatial=banded)
             bands = [int(b) for b in self.band_widths]
             dbands = [int(b) for b in self.down_bands]
             fbc = self.band_fb_cap

@@ -138,6 +138,33 @@ def build_detector(cfg, train_cfg=None, test_cfg=None) -> DetectorBundle:
     )
 
 
+def host_voxelize_cfg(cfg):
+    """voxelize_host dict for the data pipeline, or None if disabled.
+
+    Beyond the voxel_generator knobs this derives the host brick-pack plan
+    sub-dict (native host_ops.brick_pack_plan) from the model's L0 engine
+    config so the loader ships per-voxel brick rows alongside the voxels —
+    the brick/banded backbones then skip their on-device pack compaction
+    (ops/sparse_brick.from_voxels_planned)."""
+    if not cfg.get("voxelize_host", True):
+        return None
+    vh = dict(cfg.voxel_generator)
+    b = (cfg.get("model", {}) or {}).get("backbone", {}) or {}
+    impl = str(b.get("impl", "gather"))
+    if impl in ("brick", "banded") and "brick" not in vh:
+        # same W-extent clamp as FPNSpMiddleResNetFHD applies to brick_widths
+        W = int(round((vh["range"][3] - vh["range"][0]) / vh["voxel_size"][0]))
+        widths = tuple(min(int(w), max(W, 1))
+                       for w in b.get("brick_widths", (16, 16, 8, 4, 4)))
+        if impl == "banded":
+            caps = tuple(b.get("banded_caps", (48000, 17024, 9984, 6016, 6016)))
+        else:
+            caps = tuple(b.get("brick_caps", (48000, 17000, 10000, 6000, 6000)))
+        vh["brick"] = dict(bw=int(widths[0]), mb_cap=int(caps[0]),
+                           spatial=impl == "banded")
+    return vh
+
+
 def eval_test_cfg(cfg, logger=None) -> dict:
     """Metric-eval test_cfg: default to the EXACT top-k prefilter so reported
     mAP is reproducible against the reference decode; production/bench

@@ -58,10 +58,17 @@ class FPNVoxelNet(nn.Module):
     def __call__(self, points: jnp.ndarray, points_valid: jnp.ndarray, train: bool = False,
                  voxels=None):
         """voxels: optional (features [B,M,F], coords [B,M,3] zyx, valid [B,M])
-        from the host voxelizer; device voxelization runs otherwise."""
+        from the host voxelizer; device voxelization runs otherwise. A 5-tuple
+        additionally carries a host brick-pack plan (row [B,M], brick_lin
+        [B,Mb] from native host_ops.brick_pack_plan), consumed by the
+        brick/banded engines."""
         cfg = self.voxel_cfg
+        plan = None
         if voxels is not None:
-            vf, vc, vv = voxels
+            if len(voxels) == 5:
+                vf, vc, vv, *plan = voxels
+            else:
+                vf, vc, vv = voxels
         else:
             vox_fn = voxelize_mean_grid if self.sort_free_voxelize else voxelize_mean
             vox = jax.vmap(lambda p, v: vox_fn(p, v, cfg))(points, points_valid)
@@ -70,6 +77,8 @@ class FPNVoxelNet(nn.Module):
             # brick engine packs straight from (unordered) voxel lists — the
             # sorted SparseBatch build (argsort over max_voxel_num) is skipped
             sb = (vf, vc, vv, tuple(cfg.sparse_shape))
+            if plan:
+                sb = sb + tuple(plan)
         else:
             sb = sp.from_voxels(vf, vc, vv, cfg.sparse_shape)
         dense, middle = FPNSpMiddleResNetFHD(

@@ -47,6 +47,11 @@ def _load() -> Optional[ctypes.CDLL]:
             f32p, i64, i32, f32p, f32p, i32p, i32, i32, i32, i32,
             ctypes.c_void_p, i32p, i32p,
         ]
+    if hasattr(lib, "brick_pack_plan"):  # stale pre-r3.2 build lacks it
+        lib.brick_pack_plan.restype = ctypes.c_int
+        lib.brick_pack_plan.argtypes = [
+            i32p, i64, ctypes.c_void_p, i32, i32, i32, i32, i32, i32, i32p, i32p,
+        ]
     lib.box_collision_test.restype = None
     lib.box_collision_test.argtypes = [f32p, i64, f32p, i64, u8p]
     lib.rotate_nms_cpu.restype = None
@@ -132,6 +137,70 @@ def points_to_voxel_mean(points, voxel_size, point_cloud_range, max_points,
 
         mean = mean.view(ml_dtypes.bfloat16)
     return mean[:n], coords[:n], npv[:n]
+
+
+def _brick_pack_plan_np(coords, valid, D, H, W, bw, mb_cap, spatial):
+    """Numpy fallback mirroring the C++ (and the device _compact_cells*)."""
+    Wb = W // bw
+    nbc = D * H * Wb
+    z, y, x = coords[:, 0].astype(np.int64), coords[:, 1], coords[:, 2]
+    cell = (z * H + y) * Wb + x // bw
+    cell = np.where(valid, cell, -1)
+    cand = [cell[valid]]
+    wpos, xb = x % bw, x // bw
+    if bw >= 2:
+        left = valid & (wpos == 0) & (xb > 0)
+        right = valid & (wpos == bw - 1) & (xb < Wb - 1)
+        dil = np.where(left, cell - 1, np.where(right, cell + 1, -1))
+        cand.append(dil[dil >= 0])
+    else:
+        cand.append((cell - 1)[valid & (xb > 0)])
+        cand.append((cell + 1)[valid & (xb < Wb - 1)])
+    cand = np.concatenate(cand)
+    # device _compact_cells compacts in LAST-appearance order (last-writer-
+    # wins representative scatter); unique over the reversed list gives it
+    uniq, ridx = np.unique(cand[::-1], return_index=True)
+    if spatial:
+        ykey = ((uniq % (H * Wb)) // Wb * Wb + uniq % Wb) * D + uniq // (H * Wb)
+        order = np.argsort(ykey, kind="stable")
+    else:
+        last = len(cand) - 1 - ridx
+        order = np.argsort(last, kind="stable")
+    uniq = uniq[order]
+    true_count = len(uniq)
+    kept = uniq[:mb_cap]
+    brick_lin = np.full((mb_cap,), nbc, np.int32)
+    brick_lin[: len(kept)] = kept
+    rank = {int(c): r for r, c in enumerate(kept)}
+    row = np.array([rank.get(int(c), -1) if c >= 0 else -1 for c in cell], np.int32)
+    return brick_lin, row, true_count
+
+
+def brick_pack_plan(coords, shape, bw: int, mb_cap: int, spatial: bool,
+                    valid=None):
+    """Plan the L0 brick pack on host (ops/sparse_brick.from_voxels_planned).
+
+    coords [n, 3] int32 zyx; shape (D, H, W). Returns (brick_lin [mb_cap]
+    int32, row [n] int32 with -1 = dropped, true_brick_count). true count >
+    mb_cap means the capacity truncated (count_active_bricks contract)."""
+    coords = np.ascontiguousarray(coords, np.int32)
+    n = coords.shape[0]
+    D, H, W = (int(s) for s in shape)
+    lib = _load()
+    if lib is None or not hasattr(lib, "brick_pack_plan"):
+        v = np.ones((n,), bool) if valid is None else np.asarray(valid, bool)
+        return _brick_pack_plan_np(coords, v, D, H, W, bw, mb_cap, spatial)
+    vptr = None
+    if valid is not None:
+        vbuf = np.ascontiguousarray(np.asarray(valid), np.uint8)
+        vptr = vbuf.ctypes.data_as(ctypes.c_void_p)
+    brick_lin = np.zeros((mb_cap,), np.int32)
+    row = np.zeros((n,), np.int32)
+    count = lib.brick_pack_plan(
+        coords, n, vptr, D, H, W, int(bw), int(mb_cap), 1 if spatial else 0,
+        brick_lin, row,
+    )
+    return brick_lin, row, int(count)
 
 
 def box_collision_test(corners_a, corners_b):

@@ -380,6 +380,107 @@ void rotate_nms_cpu(const float* corners, int64_t n, float iou_threshold, uint8_
 }
 
 // ---------------------------------------------------------------------------
+// Brick-pack plan for the L0 brick/banded sparse engines (ops/sparse_brick.py
+// from_voxels): assigns each voxel its target brick row and emits the active
+// brick-cell list, so the device pack skips its compaction/grid scalar-index
+// passes (~10 ms of the measured 18.5 ms from_voxels) and keeps only the
+// differentiable feature scatter-add. Runs in the loader threads, overlapped
+// with device compute — the same division of labor as the reference's CPU
+// data workers (det3d/datasets/pipelines/preprocess.py Voxelization).
+//
+// coords [n, 3] int32 zyx (voxelizer output order). spatial != 0 compacts in
+// y-major (y, x_brick, z) order (the banded engine's bounded-displacement
+// contract, _compact_cells_spatial); else first-appearance order over the
+// [cells..., dilation...] candidate list (_compact_cells). Both replicate the
+// device semantics exactly, including the halo-dilation rule (a brick whose
+// edge column is active materializes its w-neighbor) and the capacity-drop
+// rule (spatial: highest ykey dropped; first-appearance: latest dropped).
+//
+// Outputs: brick_lin [mb_cap] int32 (sentinel D*H*(W/bw) on pad rows),
+//          row [n] int32 (-1 = invalid voxel or dropped brick).
+// Returns the TRUE active-brick count (> mb_cap means truncation occurred —
+// the same observability contract as sparse_brick.count_active_bricks).
+int brick_pack_plan(const int32_t* coords, int64_t n, const uint8_t* valid,
+                    int D, int H, int W, int bw, int mb_cap, int spatial,
+                    int32_t* brick_lin, int32_t* row) {
+  const int Wb = W / bw;
+  const int64_t nbc = static_cast<int64_t>(D) * H * Wb;
+  std::vector<int64_t> cell(n);
+  std::vector<int64_t> cand;
+  cand.reserve(2 * n);
+  for (int64_t i = 0; i < n; ++i) {
+    if (valid && !valid[i]) { cell[i] = -1; continue; }
+    int z = coords[i * 3 + 0], y = coords[i * 3 + 1], x = coords[i * 3 + 2];
+    int64_t c = (static_cast<int64_t>(z) * H + y) * Wb + x / bw;
+    cell[i] = c;
+    cand.push_back(c);
+  }
+  // halo dilation candidates, in the device's candidate-list order
+  if (bw >= 2) {
+    for (int64_t i = 0; i < n; ++i) {
+      if (cell[i] < 0) continue;
+      int x = coords[i * 3 + 2];
+      int wpos = x % bw, xb = x / bw;
+      if (wpos == 0 && xb > 0) cand.push_back(cell[i] - 1);
+      else if (wpos == bw - 1 && xb < Wb - 1) cand.push_back(cell[i] + 1);
+    }
+  } else {
+    for (int64_t i = 0; i < n; ++i)
+      if (cell[i] >= 0 && coords[i * 3 + 2] / bw > 0) cand.push_back(cell[i] - 1);
+    for (int64_t i = 0; i < n; ++i)
+      if (cell[i] >= 0 && coords[i * 3 + 2] / bw < Wb - 1) cand.push_back(cell[i] + 1);
+  }
+
+  std::unordered_map<int64_t, int32_t> rank;
+  rank.reserve(cand.size() * 2 + 16);
+  int64_t true_count = 0;
+  if (spatial) {
+    // unique cells sorted by y-major key (y, x_brick, z)
+    std::vector<int64_t> uniq;
+    uniq.reserve(cand.size());
+    for (int64_t c : cand)
+      if (rank.emplace(c, 0).second) uniq.push_back(c);
+    true_count = static_cast<int64_t>(uniq.size());
+    const int64_t HWb = static_cast<int64_t>(H) * Wb;
+    std::sort(uniq.begin(), uniq.end(), [&](int64_t a, int64_t b) {
+      int64_t ya = (a % HWb) / Wb, wa = a % Wb, za = a / HWb;
+      int64_t yb = (b % HWb) / Wb, wb2 = b % Wb, zb = b / HWb;
+      int64_t ka = (ya * Wb + wa) * D + za, kb = (yb * Wb + wb2) * D + zb;
+      return ka < kb;
+    });
+    for (size_t r = 0; r < uniq.size(); ++r)
+      rank[uniq[r]] = r < static_cast<size_t>(mb_cap) ? static_cast<int32_t>(r) : -1;
+    for (int64_t r = 0; r < mb_cap; ++r)
+      brick_lin[r] = r < static_cast<int64_t>(uniq.size())
+                         ? static_cast<int32_t>(uniq[r]) : static_cast<int32_t>(nbc);
+  } else {
+    // LAST-appearance order over the candidate list: the device
+    // _compact_cells picks each cell's representative with a last-writer-
+    // wins scatter, so the compacted order is by last occurrence position
+    std::unordered_map<int64_t, int64_t> last_pos;
+    last_pos.reserve(cand.size() * 2 + 16);
+    for (size_t p = 0; p < cand.size(); ++p) last_pos[cand[p]] = p;
+    std::vector<std::pair<int64_t, int64_t>> order;  // (last_pos, cell)
+    order.reserve(last_pos.size());
+    for (auto& kv : last_pos) order.emplace_back(kv.second, kv.first);
+    std::sort(order.begin(), order.end());
+    true_count = static_cast<int64_t>(order.size());
+    for (int64_t r = 0; r < mb_cap; ++r) brick_lin[r] = static_cast<int32_t>(nbc);
+    for (size_t r = 0; r < order.size(); ++r) {
+      int32_t rr = r < static_cast<size_t>(mb_cap) ? static_cast<int32_t>(r) : -1;
+      rank[order[r].second] = rr;
+      if (rr >= 0) brick_lin[rr] = static_cast<int32_t>(order[r].second);
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    if (cell[i] < 0) { row[i] = -1; continue; }
+    auto it = rank.find(cell[i]);
+    row[i] = it == rank.end() ? -1 : it->second;
+  }
+  return static_cast<int>(true_count);
+}
+
+// ---------------------------------------------------------------------------
 // Greedy budgeted k-center over a dense distance matrix (host tooling path).
 // dist [n*n] row-major; returns count of selected, writes into selected.
 int kcenter_greedy(const float* dist, int64_t n, const float* frame_costs,

@@ -866,6 +866,43 @@ def from_voxels(features: jnp.ndarray, coords_zyx: jnp.ndarray, valid: jnp.ndarr
     return BrickBatch(features=feats, brick_lin=lins, vmask=vmasks, shape=(D, H, W), bw=bw)
 
 
+def from_voxels_planned(features: jnp.ndarray, coords_zyx: jnp.ndarray,
+                        valid: jnp.ndarray, shape, bw: int,
+                        row: jnp.ndarray, brick_lin: jnp.ndarray) -> BrickBatch:
+    """from_voxels with a host-precomputed pack plan (native
+    host_ops.brick_pack_plan): ``row`` [B, N] is each voxel's target brick
+    row (-1 = dropped), ``brick_lin`` [B, Mb] the active brick cells in the
+    plan's order. Skips the on-device compaction/grid scalar-index passes
+    (~10 ms of the measured 18.5 ms pack at B=2) and keeps only the
+    differentiable feature scatter-add — bit-identical to from_voxels when
+    the plan was built with the matching (bw, mb_cap, spatial) knobs.
+
+    The plan is loader work overlapped with device compute, the same
+    division of labor as the reference's CPU data workers (reference
+    det3d/datasets/pipelines/preprocess.py Voxelization)."""
+    D, H, W = (int(s) for s in shape)
+    B, N, C = features.shape
+    mb_cap = brick_lin.shape[1]
+    wpos = (coords_zyx[..., 2] % bw).astype(jnp.int32)
+
+    def per_batch(row_b, wpos_b, feat, vld):
+        ok = (row_b >= 0) & vld
+        fv = jnp.concatenate(
+            [jnp.where(ok[:, None], feat, 0.0), ok[:, None].astype(feat.dtype)], axis=-1
+        )
+        onehot = jax.nn.one_hot(wpos_b, bw, dtype=feat.dtype)
+        updates = (onehot[:, :, None] * fv[:, None, :]).reshape(-1, bw * (C + 1))
+        tgt = jnp.where(ok, row_b, mb_cap).astype(jnp.int32)
+        buf = jnp.zeros((mb_cap + 1, bw * (C + 1)), feat.dtype).at[tgt].add(
+            updates, mode="drop"
+        )[:-1].reshape(mb_cap, bw, C + 1)
+        return buf[..., :C].reshape(mb_cap, bw * C), buf[..., C] > 0
+
+    feats, vmasks = jax.vmap(per_batch)(row, wpos, features, valid)
+    return BrickBatch(features=feats, brick_lin=brick_lin, vmask=vmasks,
+                      shape=(D, H, W), bw=bw)
+
+
 def to_dense(bb: BrickBatch) -> jnp.ndarray:
     """[B, H, W, C*D] BEV map with channel = c*D + d (matches the per-voxel
     engines' to_dense / reference scn.py:389-391)."""

@@ -29,7 +29,8 @@ def predict_dataset(
     for batch in loader:
         # host-voxelized batches: skip the raw-point H2D payload entirely
         feed_keys = (
-            ("voxel_features", "voxel_coords", "voxel_valid")
+            ("voxel_features", "voxel_coords", "voxel_valid",
+             "brick_row", "brick_lin")
             if "voxel_features" in batch else ("points", "points_valid")
         )
         out = predict(params, batch_stats, {k: batch[k] for k in feed_keys if k in batch})

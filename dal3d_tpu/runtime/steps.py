@@ -56,6 +56,9 @@ def make_train_step(bundle, optimizer) -> Callable:
             (batch["voxel_features"], batch["voxel_coords"], batch["voxel_valid"])
             if "voxel_features" in batch else None
         )
+        if voxels is not None and "brick_row" in batch:
+            # host brick-pack plan (native brick_pack_plan via the loader)
+            voxels = voxels + (batch["brick_row"], batch["brick_lin"])
 
         def loss_fn(params):
             out, new_model_state = model.apply(
@@ -107,6 +110,9 @@ def make_predict_step(bundle) -> Callable:
             (batch["voxel_features"], batch["voxel_coords"], batch["voxel_valid"])
             if "voxel_features" in batch else None
         )
+        if voxels is not None and "brick_row" in batch:
+            # host brick-pack plan (native brick_pack_plan via the loader)
+            voxels = voxels + (batch["brick_row"], batch["brick_lin"])
         if voxels is not None and "points" not in batch:
             # host-voxelized feed: the raw point cloud is not needed (and at
             # 250k pts x 5 x f32 it would dominate the H2D payload)

@@ -34,7 +34,7 @@ def main():
     import numpy as np
 
     from dal3d_tpu.data import DataLoader, NuScenesDataset
-    from dal3d_tpu.models.builder import build_detector
+    from dal3d_tpu.models.builder import build_detector, host_voxelize_cfg
     from dal3d_tpu.runtime import checkpoint as ckpt
     from dal3d_tpu.runtime.steps import create_train_state
     from dal3d_tpu.solver.optim import OneCycleSchedule, build_optimizer
@@ -57,7 +57,7 @@ def main():
         pipeline=[dict(s) for s in val.get("pipeline", [])],
         tasks=[dict(t) for t in cfg.tasks],
         max_points=cfg.get("max_points", 300000),
-        voxelize_host=dict(cfg.voxel_generator) if cfg.get("voxelize_host", True) else None,
+        voxelize_host=host_voxelize_cfg(cfg),
         test_mode=True,
     )
     batch_size = args.batch_size or cfg.data.get("samples_per_gpu", 2) * jax.device_count()

@@ -34,6 +34,7 @@ def main():
     import numpy as np
 
     from dal3d_tpu.data import DataLoader, NuScenesDataset
+    from dal3d_tpu.models.builder import host_voxelize_cfg
     from dal3d_tpu.utils import Config
     from dal3d_tpu.visualization import detection_gallery, save_bev, save_scene
     from dal3d_tpu.visualization.vis3d import plot_range_image, _agg
@@ -47,7 +48,7 @@ def main():
         pipeline=[dict(s) for s in d.get("pipeline", [])],
         tasks=[dict(t) for t in cfg.tasks],
         max_points=cfg.get("max_points", 300000),
-        voxelize_host=dict(cfg.voxel_generator) if cfg.get("voxelize_host", True) else None,
+        voxelize_host=host_voxelize_cfg(cfg),
         test_mode=args.split == "val",
     )
 
