@@ -54,11 +54,31 @@ def main():
     state = create_train_state(bundle, opt, jax.random.PRNGKey(0), batch)
     model = bundle.model
 
+    # PLAN_HOST=1: feed the host brick-pack plan (loader-side in production)
+    plan = None
+    if os.environ.get("PLAN_HOST", "0") == "1":
+        from dal3d_tpu.models.builder import host_voxelize_cfg
+        bp = (host_voxelize_cfg(cfg) or {}).get("brick")
+        if bp:
+            rows = np.full((B, M), -1, np.int32)
+            lins = np.zeros((B, bp["mb_cap"]), np.int32)
+            for b in range(B):
+                nvb = int(vv[b].sum())
+                lin, r, _ = host_ops.brick_pack_plan(
+                    vc[b, :nvb], (41, 1024, 1024), bp["bw"], bp["mb_cap"],
+                    bp["spatial"])
+                rows[b, :nvb] = r
+                lins[b] = lin
+            plan = (jnp.asarray(rows), jnp.asarray(lins))
+            print(f"host plan: bw={bp['bw']} cap={bp['mb_cap']} "
+                  f"spatial={bp['spatial']}")
+
     def upto(stage):
         def f(params, bstats, vfj, vcj, vvj):
+            vtuple = (vfj, vcj, vvj) if plan is None else (vfj, vcj, vvj) + plan
             out = model.apply({"params": params, "batch_stats": bstats},
                               batch["points"], batch["points_valid"], False,
-                              voxels=(vfj, vcj, vvj))
+                              voxels=vtuple)
             if stage == "model":  # backbone + RPN + head convs
                 return out["preds"][0]["box_preds"]
             dets = multi_group_predict(out["preds"], bundle.task_anchors,

@@ -57,6 +57,24 @@ def main():
         "gt_boxes": [jnp.asarray(gt)] * 6,
         "gt_classes": [jnp.asarray(cls)] * 6,
     }
+    if os.environ.get("PLAN_HOST", "0") == "1":
+        # host brick-pack plan (loader-side in production)
+        from dal3d_tpu.models.builder import host_voxelize_cfg
+        bp = (host_voxelize_cfg(cfg) or {}).get("brick")
+        if bp:
+            rows = np.full((B, M), -1, np.int32)
+            lins = np.zeros((B, bp["mb_cap"]), np.int32)
+            for b in range(B):
+                nvb = int(vv[b].sum())
+                lin, r, _ = host_ops.brick_pack_plan(
+                    vc[b, :nvb], (41, 1024, 1024), bp["bw"], bp["mb_cap"],
+                    bp["spatial"])
+                rows[b, :nvb] = r
+                lins[b] = lin
+            batch["brick_row"] = jnp.asarray(rows)
+            batch["brick_lin"] = jnp.asarray(lins)
+            print(f"host plan: bw={bp['bw']} cap={bp['mb_cap']} "
+                  f"spatial={bp['spatial']}")
     opt = build_optimizer(OneCycleSchedule(total_steps=100))
     state = create_train_state(bundle, opt, jax.random.PRNGKey(0), batch)
     step = make_train_step(bundle, opt)
