@@ -157,6 +157,26 @@ def _subprocess_throughput(impl: str, timeout_s: float):
     return None
 
 
+def _probe_backend(timeout_s: float = 300.0) -> bool:
+    """Fail fast (with a diagnosable message) when the TPU relay is dead —
+    backend init otherwise hangs indefinitely and the driver only sees a
+    timeout. Probes in a subprocess so a hung init cannot wedge this one."""
+    code = ("import jax, jax.numpy as jnp; "
+            "assert float(jnp.ones((8, 8)).sum()) == 64.0; print('BENCH_TPU_OK')")
+    try:
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                             text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"bench: TPU backend init timed out after {timeout_s:.0f}s "
+              "(axon relay unreachable?)", file=sys.stderr)
+        return False
+    if "BENCH_TPU_OK" in out.stdout:
+        return True
+    print("bench: TPU backend probe failed: "
+          f"{(out.stderr or out.stdout).strip().splitlines()[-3:]}", file=sys.stderr)
+    return False
+
+
 def main():
     impl = os.environ.get("BENCH_IMPL")
     if os.environ.get("BENCH_INNER"):
@@ -164,6 +184,9 @@ def main():
         print(json.dumps({"metric": "inner_throughput", "value": round(sps, 3),
                           "impl": impl or "config-default"}))
         return
+
+    if not _probe_backend(float(os.environ.get("BENCH_PROBE_TIMEOUT", 300))):
+        sys.exit(3)
 
     engine = impl or "brick"
     scans_per_sec = measure_throughput(impl or "brick")
