@@ -96,19 +96,11 @@ def measure_throughput(impl: str | None):
 
     # host brick-pack plan (native brick_pack_plan): the loader ships it with
     # the voxels so the brick/banded L0 skips its on-device pack compaction
-    from dal3d_tpu.models.builder import host_voxelize_cfg
+    from dal3d_tpu.models.builder import build_host_brick_plan, host_voxelize_cfg
 
     bp = (host_voxelize_cfg(cfg) or {}).get("brick")
     if bp:
-        D, Hs, Ws = (41, 1024, 1024)
-        rows = np.full((B, M), -1, np.int32)
-        lins = np.zeros((B, bp["mb_cap"]), np.int32)
-        for b in range(B):
-            nvb = int(vv[b].sum())
-            lin, r, _ = host_ops.brick_pack_plan(
-                vc[b, :nvb], (D, Hs, Ws), bp["bw"], bp["mb_cap"], bp["spatial"])
-            rows[b, :nvb] = r
-            lins[b] = lin
+        rows, lins = build_host_brick_plan(vc, vv, bundle.voxel_cfg.sparse_shape, bp)
         pb["brick_row"] = jnp.asarray(rows)
         pb["brick_lin"] = jnp.asarray(lins)
 
@@ -161,7 +153,12 @@ def _probe_backend(timeout_s: float = 300.0) -> bool:
     """Fail fast (with a diagnosable message) when the TPU relay is dead —
     backend init otherwise hangs indefinitely and the driver only sees a
     timeout. Probes in a subprocess so a hung init cannot wedge this one."""
+    # the backend must actually BE the TPU: a dead plugin that silently falls
+    # back to CPU would otherwise produce garbage chip numbers with rc=0
+    # (BENCH_ALLOW_CPU=1 overrides for deliberate off-chip smoke runs)
+    want = "'cpu'" if os.environ.get("BENCH_ALLOW_CPU") == "1" else "'tpu'"
     code = ("import jax, jax.numpy as jnp; "
+            f"assert jax.default_backend() == {want}, jax.default_backend(); "
             "assert float(jnp.ones((8, 8)).sum()) == 64.0; print('BENCH_TPU_OK')")
     try:
         out = subprocess.run([sys.executable, "-c", code], capture_output=True,

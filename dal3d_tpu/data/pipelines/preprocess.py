@@ -209,7 +209,11 @@ class ReformatFixedShape:
                 rowp[:n] = row
                 example["brick_row"] = rowp
                 example["brick_lin"] = lin
-                example["brick_count"] = np.int32(cnt)
+                # NOTE: cnt (true brick demand) is deliberately NOT shipped in
+                # the example: a per-example scalar breaks shard_batch
+                # (rank-0 leaves cannot carry PartitionSpec('data')), and the
+                # trainer's one-shot capacity report (runtime/capacity.py)
+                # already measures L0 demand on device.
 
         if res.get("mode") == "train":
             gt = res["lidar"]["annotations"]

@@ -27,6 +27,35 @@ from ...parallel.mesh import bev_constraint
 from ..layers import MaskedBatchNorm, SparseConvDown, SubMConv
 from ..registry import BACKBONES
 
+# Single source for the brick-engine default knobs: this module's dataclass
+# defaults, models/builder.build_detector and builder.host_voxelize_cfg (the
+# loader-side pack plan) must agree — duplicated literals would let the host
+# plan silently diverge from the backbone's packing.
+BRICK_WIDTHS_DEFAULT = (16, 16, 8, 4, 4)
+BRICK_CAPS_DEFAULT = (48000, 17000, 10000, 6000, 6000)
+BAND_WIDTHS_DEFAULT = (768, 512, 512, 512, 512)
+DOWN_BANDS_DEFAULT = (2048, 1024, 512, 512)
+BANDED_CAPS_DEFAULT = (48000, 17024, 9984, 6016, 6016)
+
+
+def l0_brick_knobs(backbone_cfg: dict, W: int):
+    """L0 pack knobs {bw, mb_cap, spatial} for a backbone config dict, with
+    the same W-extent clamp FPNSpMiddleResNetFHD applies; None for
+    non-brick engines. The one place the loader-side brick_pack_plan and the
+    device pack derive their shared parameters from."""
+    impl = str(backbone_cfg.get("impl", "gather"))
+    if impl not in ("brick", "banded"):
+        return None
+    widths = tuple(backbone_cfg.get("brick_widths", BRICK_WIDTHS_DEFAULT))
+    caps = tuple(
+        backbone_cfg.get("banded_caps", BANDED_CAPS_DEFAULT)
+        if impl == "banded"
+        else backbone_cfg.get("brick_caps", BRICK_CAPS_DEFAULT)
+    )
+    return dict(bw=min(int(widths[0]), max(int(W), 1)), mb_cap=int(caps[0]),
+                spatial=impl == "banded")
+
+
 # rematerialized blocks for the dense engine: each stage's activations are
 # recomputed in backward instead of stored (the [B,D,H,W,C] grids otherwise
 # blow HBM: measured 37 GB of saved activations for the train step)
@@ -243,14 +272,14 @@ class FPNSpMiddleResNetFHD(nn.Module):
     # gather-GEMM everywhere (lowest memory; BEVFusion's 1440x1440 grid);
     # "brick": W-run brick packing (tools/microbench-tuned; fastest, round 2)
     impl: str = "hybrid"
-    brick_widths: Sequence[int] = (16, 16, 8, 4, 4)
-    brick_caps: Sequence[int] = (48000, 17000, 10000, 6000, 6000)
+    brick_widths: Sequence[int] = BRICK_WIDTHS_DEFAULT
+    brick_caps: Sequence[int] = BRICK_CAPS_DEFAULT
     # banded engine (impl="banded"): per-level subm band widths, downsample
     # band widths, fallback capacity; caps must be multiples of 128
-    band_widths: Sequence[int] = (768, 512, 512, 512, 512)
-    down_bands: Sequence[int] = (2048, 1024, 512, 512)
+    band_widths: Sequence[int] = BAND_WIDTHS_DEFAULT
+    down_bands: Sequence[int] = DOWN_BANDS_DEFAULT
     band_fb_cap: int = 256
-    banded_caps: Sequence[int] = (48000, 17024, 9984, 6016, 6016)
+    banded_caps: Sequence[int] = BANDED_CAPS_DEFAULT
 
     @nn.compact
     def __call__(self, sb: sp.SparseBatch, train: bool = False):

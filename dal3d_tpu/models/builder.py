@@ -14,6 +14,14 @@ from ..core.anchors import TaskAnchors, generate_task_anchors
 from ..core.box_coders import GroundBox3dCoder, build_box_coder
 from ..core.target_assigner import DeviceTargetAssigner
 from ..ops.voxelize import VoxelConfig
+from .backbones.scn import (
+    BAND_WIDTHS_DEFAULT,
+    BANDED_CAPS_DEFAULT,
+    BRICK_CAPS_DEFAULT,
+    BRICK_WIDTHS_DEFAULT,
+    DOWN_BANDS_DEFAULT,
+    l0_brick_knobs,
+)
 from .heads.mg_head import LossConfig, TestConfig
 from .registry import DETECTORS
 
@@ -116,12 +124,12 @@ def build_detector(cfg, train_cfg=None, test_cfg=None) -> DetectorBundle:
         rpn_us_filters=tuple(neck_cfg.get("us_num_filters", (256, 256))),
         backbone_impl=str(backbone_cfg.get("impl", "gather")),
         backbone_dtype=str(backbone_cfg.get("dtype", "float32")),
-        brick_widths=tuple(backbone_cfg.get("brick_widths", (16, 16, 8, 4, 4))),
-        brick_caps=tuple(backbone_cfg.get("brick_caps", (48000, 17000, 10000, 6000, 6000))),
-        band_widths=tuple(backbone_cfg.get("band_widths", (768, 512, 512, 512, 512))),
-        down_bands=tuple(backbone_cfg.get("down_bands", (2048, 1024, 512, 512))),
+        brick_widths=tuple(backbone_cfg.get("brick_widths", BRICK_WIDTHS_DEFAULT)),
+        brick_caps=tuple(backbone_cfg.get("brick_caps", BRICK_CAPS_DEFAULT)),
+        band_widths=tuple(backbone_cfg.get("band_widths", BAND_WIDTHS_DEFAULT)),
+        down_bands=tuple(backbone_cfg.get("down_bands", DOWN_BANDS_DEFAULT)),
         band_fb_cap=int(backbone_cfg.get("band_fb_cap", 256)),
-        banded_caps=tuple(backbone_cfg.get("banded_caps", (48000, 17024, 9984, 6016, 6016))),
+        banded_caps=tuple(backbone_cfg.get("banded_caps", BANDED_CAPS_DEFAULT)),
     )
 
     return DetectorBundle(
@@ -150,19 +158,36 @@ def host_voxelize_cfg(cfg):
         return None
     vh = dict(cfg.voxel_generator)
     b = (cfg.get("model", {}) or {}).get("backbone", {}) or {}
-    impl = str(b.get("impl", "gather"))
-    if impl in ("brick", "banded") and "brick" not in vh:
-        # same W-extent clamp as FPNSpMiddleResNetFHD applies to brick_widths
+    if "brick" not in vh:
         W = int(round((vh["range"][3] - vh["range"][0]) / vh["voxel_size"][0]))
-        widths = tuple(min(int(w), max(W, 1))
-                       for w in b.get("brick_widths", (16, 16, 8, 4, 4)))
-        if impl == "banded":
-            caps = tuple(b.get("banded_caps", (48000, 17024, 9984, 6016, 6016)))
-        else:
-            caps = tuple(b.get("brick_caps", (48000, 17000, 10000, 6000, 6000)))
-        vh["brick"] = dict(bw=int(widths[0]), mb_cap=int(caps[0]),
-                           spatial=impl == "banded")
+        knobs = l0_brick_knobs(b, W)  # single source with the backbone
+        if knobs:
+            vh["brick"] = knobs
     return vh
+
+
+def build_host_brick_plan(vc, vv, sparse_shape, bp):
+    """Batched host brick-pack plan: (brick_row [B, M], brick_lin [B, cap])
+    numpy arrays from host voxel coords in valid-first layout. ``bp`` is the
+    {bw, mb_cap, spatial} dict from host_voxelize_cfg; ``sparse_shape`` MUST
+    be the model's voxel_cfg.sparse_shape (a mismatched shape linearizes
+    cells wrong with no error). Shared by bench.py and the profilers; the
+    data pipeline computes the same per-example (pipelines/preprocess.py)."""
+    import numpy as np
+
+    from ..native import host_ops
+
+    B, M = vv.shape
+    shape = tuple(int(s) for s in sparse_shape)
+    rows = np.full((B, M), -1, np.int32)
+    lins = np.zeros((B, bp["mb_cap"]), np.int32)
+    for b in range(B):
+        nvb = int(vv[b].sum())
+        lin, r, _ = host_ops.brick_pack_plan(
+            vc[b, :nvb], shape, bp["bw"], bp["mb_cap"], bp["spatial"])
+        rows[b, :nvb] = r
+        lins[b] = lin
+    return rows, lins
 
 
 def eval_test_cfg(cfg, logger=None) -> dict:

@@ -150,8 +150,12 @@ def _iou_kernel(row_ref, col_ref, o_ref):
     o_ref[0] = jnp.where(union > 0, inter / union, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _iou_pallas(rowdat: jnp.ndarray, coldat: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _iou_pallas(rowdat: jnp.ndarray, coldat: jnp.ndarray,
+                interpret: bool = False) -> jnp.ndarray:
+    # interpret is a STATIC jit arg: baking _interpret() into the trace would
+    # let a mode flip (DAL3D_IOU=interpret -> pallas) silently reuse the
+    # cached executable of the other mode for identical shapes
     G, Np, _ = rowdat.shape
     Mp = coldat.shape[-1]
     return pl.pallas_call(
@@ -163,7 +167,7 @@ def _iou_pallas(rowdat: jnp.ndarray, coldat: jnp.ndarray) -> jnp.ndarray:
         ],
         out_specs=pl.BlockSpec((1, _BN, _BN), lambda g, i, j: (g, i, j)),
         out_shape=jax.ShapeDtypeStruct((G, Np, Mp), jnp.float32),
-        interpret=_interpret(),
+        interpret=interpret,
     )(rowdat, coldat)
 
 
@@ -184,7 +188,7 @@ def rotated_iou_matrix_greens_pallas(
     coldat = jnp.swapaxes(
         _pack_rowdat(jnp.pad(boxes2.astype(jnp.float32),
                              ((0, 0), (0, pm), (0, 0)))), 1, 2)
-    return _iou_pallas(rowdat, coldat)[:, :N, :M]
+    return _iou_pallas(rowdat, coldat, interpret=_interpret())[:, :N, :M]
 
 
 def rotated_iou_matrix_batched(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:

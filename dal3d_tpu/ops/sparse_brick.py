@@ -881,6 +881,7 @@ def from_voxels_planned(features: jnp.ndarray, coords_zyx: jnp.ndarray,
     division of labor as the reference's CPU data workers (reference
     det3d/datasets/pipelines/preprocess.py Voxelization)."""
     D, H, W = (int(s) for s in shape)
+    assert W % bw == 0, f"W={W} not divisible by brick width {bw}"
     B, N, C = features.shape
     mb_cap = brick_lin.shape[1]
     wpos = (coords_zyx[..., 2] % bw).astype(jnp.int32)

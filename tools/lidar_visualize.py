@@ -88,10 +88,11 @@ def main():
         pred = None
         det = detections.get(token)
         if det is None and predict is not None:
-            keys = (("voxel_features", "voxel_coords", "voxel_valid")
+            keys = (("voxel_features", "voxel_coords", "voxel_valid",
+                     "brick_row", "brick_lin")
                     if "voxel_features" in batch else ("points", "points_valid"))
             out = predict(state.params, state.batch_stats,
-                          {k: batch[k] for k in keys})
+                          {k: batch[k] for k in keys if k in batch})
             det = {k: np.asarray(v[0]) for k, v in out.items()
                    if k in ("box3d_lidar", "scores", "det_valid")}
         if det is not None:

@@ -30,7 +30,7 @@ def main():
     import numpy as np
 
     from dal3d_tpu.data import DataLoader, NuScenesDataset
-    from dal3d_tpu.models.builder import build_detector, host_voxelize_cfg
+    from dal3d_tpu.models.builder import build_detector
     from dal3d_tpu.runtime import checkpoint as ckpt
     from dal3d_tpu.runtime.steps import create_train_state, make_predict_step
     from dal3d_tpu.solver.optim import OneCycleSchedule, build_optimizer
@@ -46,7 +46,8 @@ def main():
         nsweeps=val.get("nsweeps", 10), class_names=val.get("class_names"),
         pipeline=[dict(s) for s in val.get("pipeline", [])],
         tasks=[dict(t) for t in cfg.tasks], max_points=cfg.get("max_points", 300000),
-        voxelize_host=host_voxelize_cfg(cfg),
+        voxelize_host=None,  # predict feeds (possibly flipped) raw points;
+        # host voxels/brick plans would be computed and then unused
         test_mode=True,
     )
     batch_size = args.batch_size or cfg.data.get("samples_per_gpu", 2) * jax.device_count()

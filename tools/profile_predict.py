@@ -57,18 +57,11 @@ def main():
     # PLAN_HOST=1: feed the host brick-pack plan (loader-side in production)
     plan = None
     if os.environ.get("PLAN_HOST", "0") == "1":
-        from dal3d_tpu.models.builder import host_voxelize_cfg
+        from dal3d_tpu.models.builder import build_host_brick_plan, host_voxelize_cfg
         bp = (host_voxelize_cfg(cfg) or {}).get("brick")
         if bp:
-            rows = np.full((B, M), -1, np.int32)
-            lins = np.zeros((B, bp["mb_cap"]), np.int32)
-            for b in range(B):
-                nvb = int(vv[b].sum())
-                lin, r, _ = host_ops.brick_pack_plan(
-                    vc[b, :nvb], (41, 1024, 1024), bp["bw"], bp["mb_cap"],
-                    bp["spatial"])
-                rows[b, :nvb] = r
-                lins[b] = lin
+            rows, lins = build_host_brick_plan(
+                vc, vv, bundle.voxel_cfg.sparse_shape, bp)
             plan = (jnp.asarray(rows), jnp.asarray(lins))
             print(f"host plan: bw={bp['bw']} cap={bp['mb_cap']} "
                   f"spatial={bp['spatial']}")
