@@ -153,3 +153,41 @@ def test_planned_pack_through_model_forward():
         voxels=va + (jnp.asarray(rows), jnp.asarray(lin)[None]))
     np.testing.assert_array_equal(np.asarray(out_plain["embedding"]),
                                   np.asarray(out_plan["embedding"]))
+
+
+def test_brick_plan_batch_shards_over_mesh():
+    """The planned-pack batch keys survive shard_batch on a multi-device mesh
+    (a rank-0 per-example scalar here used to crash device_put with
+    PartitionSpec('data')) and the sharded planned pack equals single-device."""
+    import jax
+
+    from dal3d_tpu.parallel.mesh import make_mesh, shard_batch
+
+    rng = np.random.RandomState(5)
+    D, H, W, bw, mb_cap = 4, 16, 16, 4, 128
+    B, N = 8, 120
+    vf = rng.randn(B, N, 2).astype(np.float32)
+    vc = np.zeros((B, N, 3), np.int32)
+    vv = np.ones((B, N), bool)
+    rows = np.zeros((B, N), np.int32)
+    lins = np.zeros((B, mb_cap), np.int32)
+    for b in range(B):
+        vc[b] = _random_voxels(rng, 4 * N, D, H, W, clustered=False)[:N]
+        lins[b], rows[b], _ = host_ops.brick_pack_plan(
+            vc[b], (D, H, W), bw, mb_cap, True, valid=vv[b])
+    batch = {"voxel_features": jnp.asarray(vf), "voxel_coords": jnp.asarray(vc),
+             "voxel_valid": jnp.asarray(vv), "brick_row": jnp.asarray(rows),
+             "brick_lin": jnp.asarray(lins)}
+    mesh = make_mesh(n_data=4, n_model=2)
+    sharded = shard_batch(batch, mesh)  # must not raise on any key
+
+    def pack(b):
+        bb = spb.from_voxels_planned(
+            b["voxel_features"], b["voxel_coords"], b["voxel_valid"],
+            (D, H, W), bw=bw, row=b["brick_row"], brick_lin=b["brick_lin"])
+        return bb.features
+
+    with jax.set_mesh(mesh):
+        got = np.asarray(jax.jit(pack)(sharded))
+    want = np.asarray(pack(batch))
+    np.testing.assert_array_equal(got, want)
