@@ -96,13 +96,13 @@ def measure_throughput(impl: str | None):
 
     # host brick-pack plan (native brick_pack_plan): the loader ships it with
     # the voxels so the brick/banded L0 skips its on-device pack compaction
-    from dal3d_tpu.models.builder import build_host_brick_plan, host_voxelize_cfg
+    from dal3d_tpu.models.builder import build_host_sparse_plans, host_voxelize_cfg
 
     bp = (host_voxelize_cfg(cfg) or {}).get("brick")
     if bp:
-        rows, lins = build_host_brick_plan(vc, vv, bundle.voxel_cfg.sparse_shape, bp)
-        pb["brick_row"] = jnp.asarray(rows)
-        pb["brick_lin"] = jnp.asarray(lins)
+        for k, v in build_host_sparse_plans(
+                vc, vv, bundle.voxel_cfg.sparse_shape, bp).items():
+            pb[k] = jnp.asarray(v)
 
     # warmup / compile (force a value fetch: block_until_ready is a no-op on
     # relayed TPU backends)

@@ -193,27 +193,43 @@ class ReformatFixedShape:
             example["voxel_valid"] = vvalid
             bp = vh.get("brick")
             if bp:
-                # host brick-pack plan for the brick/banded L0 engines
-                # (native brick_pack_plan) — (bw, mb_cap, spatial) must match
-                # the backbone's L0 knobs (models/builder.py wires them)
+                # host sparse plans for the brick/banded engines — knobs must
+                # match the backbone's (models/builder.host_voxelize_cfg
+                # derives both from one source, scn.l0_brick_knobs)
                 grid = np.round(
                     (np.asarray(vh["range"][3:]) - np.asarray(vh["range"][:3]))
                     / np.asarray(vh["voxel_size"])
                 ).astype(np.int64)
                 shape = (int(grid[2]) + 1, int(grid[1]), int(grid[0]))
-                lin, row, cnt = host_ops.brick_pack_plan(
-                    coords, shape, int(bp["bw"]), int(bp["mb_cap"]),
-                    bool(bp.get("spatial", False)),
-                )
-                rowp = np.full((M,), -1, np.int32)
-                rowp[:n] = row
-                example["brick_row"] = rowp
-                example["brick_lin"] = lin
-                # NOTE: cnt (true brick demand) is deliberately NOT shipped in
-                # the example: a per-example scalar breaks shard_batch
-                # (rank-0 leaves cannot carry PartitionSpec('data')), and the
-                # trainer's one-shot capacity report (runtime/capacity.py)
-                # already measures L0 demand on device.
+                plans = None
+                if bp.get("pyramid", True) and "widths" in bp:
+                    # full plan pyramid (rulebooks + downsample plans), exact
+                    # by construction: the device plan code run on host CPU
+                    from ..sparse_plans import compute_sparse_plans
+
+                    plans = compute_sparse_plans(
+                        vcoords[None], vvalid[None], shape,
+                        bp["widths"], bp["caps"], bool(bp.get("spatial", False)),
+                    )
+                if plans is not None:
+                    for k, v in plans.items():
+                        example[k] = v[0]
+                else:
+                    # no CPU jax backend in this process: L0 pack plan only
+                    # (native C++), deeper plans stay on device
+                    lin, row, cnt = host_ops.brick_pack_plan(
+                        coords, shape, int(bp["bw"]), int(bp["mb_cap"]),
+                        bool(bp.get("spatial", False)),
+                    )
+                    rowp = np.full((M,), -1, np.int32)
+                    rowp[:n] = row
+                    example["brick_row"] = rowp
+                    example["brick_lin"] = lin
+                # NOTE: the true brick demand count is deliberately NOT
+                # shipped in the example: a per-example scalar breaks
+                # shard_batch (rank-0 leaves cannot carry
+                # PartitionSpec('data')), and the trainer's one-shot capacity
+                # report (runtime/capacity.py) measures L0 demand on device.
 
         if res.get("mode") == "train":
             gt = res["lidar"]["annotations"]

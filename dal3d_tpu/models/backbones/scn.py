@@ -38,6 +38,13 @@ DOWN_BANDS_DEFAULT = (2048, 1024, 512, 512)
 BANDED_CAPS_DEFAULT = (48000, 17024, 9984, 6016, 6016)
 
 
+def brick_level_widths(W: int, widths) -> Tuple[int, ...]:
+    """Per-level brick widths clamped to each level's W extent (the input
+    level plus the 4 downsample outputs; stage3 strides depth only)."""
+    wexts = (W, W // 2, W // 4, W // 8, W // 8)
+    return tuple(min(int(b), max(we, 1)) for b, we in zip(widths, wexts))
+
+
 def l0_brick_knobs(backbone_cfg: dict, W: int):
     """L0 pack knobs {bw, mb_cap, spatial} for a backbone config dict, with
     the same W-extent clamp FPNSpMiddleResNetFHD applies; None for
@@ -46,14 +53,17 @@ def l0_brick_knobs(backbone_cfg: dict, W: int):
     impl = str(backbone_cfg.get("impl", "gather"))
     if impl not in ("brick", "banded"):
         return None
-    widths = tuple(backbone_cfg.get("brick_widths", BRICK_WIDTHS_DEFAULT))
+    widths = brick_level_widths(
+        int(W), backbone_cfg.get("brick_widths", BRICK_WIDTHS_DEFAULT))
     caps = tuple(
-        backbone_cfg.get("banded_caps", BANDED_CAPS_DEFAULT)
-        if impl == "banded"
-        else backbone_cfg.get("brick_caps", BRICK_CAPS_DEFAULT)
+        int(c) for c in (
+            backbone_cfg.get("banded_caps", BANDED_CAPS_DEFAULT)
+            if impl == "banded"
+            else backbone_cfg.get("brick_caps", BRICK_CAPS_DEFAULT)
+        )
     )
-    return dict(bw=min(int(widths[0]), max(int(W), 1)), mb_cap=int(caps[0]),
-                spatial=impl == "banded")
+    return dict(bw=widths[0], mb_cap=caps[0], spatial=impl == "banded",
+                widths=widths, caps=caps)
 
 
 # rematerialized blocks for the dense engine: each stage's activations are
@@ -190,25 +200,35 @@ class _BrickL0(nn.Module):
     fb_cap: int = 256
 
     @nn.compact
-    def __call__(self, bb, train: bool):
+    def __call__(self, bb, train: bool, plan=None):
         from ...ops import sparse_brick as spb
 
-        grid = spb.build_brick_grid(bb)  # shared: rulebook + downsample plan
+        plan = plan or {}
+        host_rb = spb.unpack_host_rulebook(plan["rb0"]) if "rb0" in plan else None
+        has_ds = "ds1_lin" in plan and host_rb is not None
+        # grid is only needed for the plans the host did NOT ship
+        grid = None if (host_rb is not None and has_ds) else spb.build_brick_grid(bb)
         if self.banded:
             rb = spb.subm_rulebook_banded(bb, 3, grid, band=self.band,
-                                          fb_cap=self.fb_cap, symmetric=train)
+                                          fb_cap=self.fb_cap, symmetric=train,
+                                          rb=host_rb)
         else:
-            rb = spb.subm_rulebook(bb, 3, grid)
+            rb = host_rb if host_rb is not None else spb.subm_rulebook(bb, 3, grid)
         x = SubMConv(16, use_bias=False, dtype=self.dtype)(bb, rb)
         f = nn.relu(MaskedBatchNorm()(x.feat4(), x.vmask, train))
         x = x.replace(features=f.reshape(x.features.shape))
         x = SparseBasicBlock(16, dtype=self.dtype)(x, rb, train)
         x = SparseBasicBlock(16, dtype=self.dtype)(x, rb, train)
+        ds_plan = None
+        if has_ds:
+            ds_plan = spb.host_downsample_plan(
+                x, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.bw_out,
+                plan["ds1_lin"], plan["ds1_idx"], plan["rb0"])
         x = SparseConvDown(
             32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.out_cap,
             use_bias=False, dtype=self.dtype, out_bw=self.bw_out,
             banded=self.banded, band=self.down_band, fb_cap=self.fb_cap * 2,
-        )(x, grid=grid, train=train)
+        )(x, grid=grid, train=train, plan=ds_plan)
         f = nn.relu(MaskedBatchNorm()(x.feat4(), x.vmask, train))
         return x.replace(features=f.reshape(x.features.shape))
 
@@ -229,25 +249,38 @@ class _BrickStage(nn.Module):
     band: int = 512
     down_band: int = 1024
     fb_cap: int = 256
+    level: int = 1  # pyramid level of the INPUT (host plan keys rb{level}, ds{level+1}_*)
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, plan=None):
         from ...ops import sparse_brick as spb
 
-        grid = spb.build_brick_grid(x)  # shared: rulebook + downsample plan
+        plan = plan or {}
+        rb_key, ds_key = f"rb{self.level}", f"ds{self.level + 1}"
+        host_rb = (spb.unpack_host_rulebook(plan[rb_key])
+                   if rb_key in plan else None)
+        has_ds = f"{ds_key}_lin" in plan and host_rb is not None
+        grid = None if (host_rb is not None and has_ds) else spb.build_brick_grid(x)
         if self.num_blocks > 0:
             if self.banded:
                 rb = spb.subm_rulebook_banded(x, 3, grid, band=self.band,
-                                              fb_cap=self.fb_cap, symmetric=train)
+                                              fb_cap=self.fb_cap, symmetric=train,
+                                              rb=host_rb)
             else:
-                rb = spb.subm_rulebook(x, 3, grid)
+                rb = host_rb if host_rb is not None else spb.subm_rulebook(x, 3, grid)
             for _ in range(self.num_blocks):
                 x = SparseBasicBlock(self.planes, dtype=self.dtype)(x, rb, train)
+        ds_plan = None
+        if has_ds:
+            ds_plan = spb.host_downsample_plan(
+                x, self.down_kernel, self.down_stride, self.down_padding,
+                self.bw_out, plan[f"{ds_key}_lin"], plan[f"{ds_key}_idx"],
+                plan[rb_key])
         x = SparseConvDown(
             self.out_planes, self.down_kernel, self.down_stride, self.down_padding,
             self.out_cap, use_bias=False, dtype=self.dtype, out_bw=self.bw_out,
             banded=self.banded, band=self.down_band, fb_cap=self.fb_cap * 2,
-        )(x, grid=grid, train=train)
+        )(x, grid=grid, train=train, plan=ds_plan)
         f = nn.relu(MaskedBatchNorm()(x.feat4(), x.vmask, train))
         return x.replace(features=f.reshape(x.features.shape))
 
@@ -287,21 +320,22 @@ class FPNSpMiddleResNetFHD(nn.Module):
             from ...ops import sparse_brick as spb
 
             banded = self.impl == "banded"
-            raw = isinstance(sb, tuple)  # (vf, vc zyx, valid, shape) fast path
+            raw = isinstance(sb, tuple)  # (vf, vc zyx, valid, shape[, plan])
             D, H, W = sb[3] if raw else sb.shape
             # W extent per level: stage3 strides depth only, W stays at W/8
-            wexts = (W, W // 2, W // 4, W // 8, W // 8)
-            ws = [min(int(b), max(we, 1)) for b, we in zip(self.brick_widths, wexts)]
+            ws = list(brick_level_widths(W, self.brick_widths))
             caps = [int(c) for c in (self.banded_caps if banded else self.brick_caps)]
-            if raw and len(sb) >= 6 and sb[4] is not None:
-                # host-precomputed pack plan (native brick_pack_plan) — must
-                # have been built with this engine's (bw, cap, spatial) knobs
-                assert sb[5].shape[1] == caps[0], (
-                    f"host brick plan capacity {sb[5].shape[1]} != backbone "
-                    f"L0 cap {caps[0]}"
+            plan = sb[4] if raw and len(sb) >= 5 and sb[4] else None
+            if plan is not None and "brick_row" in plan:
+                # host-precomputed plan pyramid (data/sparse_plans.py) — must
+                # have been built with this engine's (widths, caps, spatial)
+                assert plan["brick_lin"].shape[1] == caps[0], (
+                    f"host brick plan capacity {plan['brick_lin'].shape[1]} "
+                    f"!= backbone L0 cap {caps[0]}"
                 )
-                bb = spb.from_voxels_planned(sb[0], sb[1], sb[2], (D, H, W),
-                                             bw=ws[0], row=sb[4], brick_lin=sb[5])
+                bb = spb.from_voxels_planned(
+                    sb[0], sb[1], sb[2], (D, H, W), bw=ws[0],
+                    row=plan["brick_row"], brick_lin=plan["brick_lin"])
             elif raw:
                 bb = spb.from_voxels(sb[0], sb[1], sb[2], (D, H, W), bw=ws[0],
                                      mb_cap=caps[0], spatial=banded)
@@ -313,26 +347,30 @@ class FPNSpMiddleResNetFHD(nn.Module):
             fbc = self.band_fb_cap
             # save the "sparse_plan"-named rulebook/plan tensors across the
             # remat boundary (int32/bool, small) so the backward pass reuses
-            # them instead of re-running grid builds + compactions
+            # them instead of re-running grid builds + compactions (host-
+            # shipped plan arrays are jit inputs — always available anyway)
             plan_policy = jax.checkpoint_policies.save_only_these_names(
                 "sparse_plan")
             L0 = nn.remat(_BrickL0, static_argnums=(2,), policy=plan_policy)
             x = L0(ws[1], caps[1], dtype=self.dtype, name="l0", banded=banded,
-                   band=bands[0], down_band=dbands[0], fb_cap=fbc)(bb, train)
+                   band=bands[0], down_band=dbands[0], fb_cap=fbc)(bb, train, plan)
             middle = [x]
             Stage = nn.remat(_BrickStage, static_argnums=(2,),
                              policy=plan_policy)
             x = Stage(32, 64, 2, (3, 3, 3), (2, 2, 2), (1, 1, 1), ws[2], caps[2],
                       dtype=self.dtype, name="stage1", banded=banded,
-                      band=bands[1], down_band=dbands[1], fb_cap=fbc)(x, train)
+                      band=bands[1], down_band=dbands[1], fb_cap=fbc,
+                      level=1)(x, train, plan)
             middle.append(x)
             x = Stage(64, 128, 2, (3, 3, 3), (2, 2, 2), (0, 1, 1), ws[3], caps[3],
                       dtype=self.dtype, name="stage2", banded=banded,
-                      band=bands[2], down_band=dbands[2], fb_cap=fbc)(x, train)
+                      band=bands[2], down_band=dbands[2], fb_cap=fbc,
+                      level=2)(x, train, plan)
             middle.append(x)
             x = Stage(128, 128, 2, (3, 1, 1), (2, 1, 1), (0, 0, 0), ws[4], caps[4],
                       dtype=self.dtype, name="stage3", banded=banded,
-                      band=bands[3], down_band=dbands[3], fb_cap=fbc)(x, train)
+                      band=bands[3], down_band=dbands[3], fb_cap=fbc,
+                      level=3)(x, train, plan)
             middle.append(x)
             dense = bev_constraint(spb.to_dense(x).astype(jnp.float32))
             return dense, middle

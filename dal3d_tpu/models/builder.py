@@ -190,6 +190,21 @@ def build_host_brick_plan(vc, vv, sparse_shape, bp):
     return rows, lins
 
 
+def build_host_sparse_plans(vc, vv, sparse_shape, bp):
+    """Full host plan pyramid as a dict of batched numpy arrays
+    (ops/sparse_brick.HOST_PLAN_KEYS). Falls back to the L0-only C++ plan
+    when the process has no CPU jax backend."""
+    if bp.get("pyramid", True) and "widths" in bp:
+        from ..data.sparse_plans import compute_sparse_plans
+
+        plans = compute_sparse_plans(vc, vv, sparse_shape, bp["widths"],
+                                     bp["caps"], bp["spatial"])
+        if plans is not None:
+            return plans
+    rows, lins = build_host_brick_plan(vc, vv, sparse_shape, bp)
+    return {"brick_row": rows, "brick_lin": lins}
+
+
 def eval_test_cfg(cfg, logger=None) -> dict:
     """Metric-eval test_cfg: default to the EXACT top-k prefilter so reported
     mAP is reproducible against the reference decode; production/bench

@@ -58,15 +58,15 @@ class FPNVoxelNet(nn.Module):
     def __call__(self, points: jnp.ndarray, points_valid: jnp.ndarray, train: bool = False,
                  voxels=None):
         """voxels: optional (features [B,M,F], coords [B,M,3] zyx, valid [B,M])
-        from the host voxelizer; device voxelization runs otherwise. A 5-tuple
-        additionally carries a host brick-pack plan (row [B,M], brick_lin
-        [B,Mb] from native host_ops.brick_pack_plan), consumed by the
-        brick/banded engines."""
+        from the host voxelizer; device voxelization runs otherwise. A 4-tuple
+        additionally carries the host sparse-plan dict (data/sparse_plans.py
+        keys, at minimum brick_row/brick_lin), consumed by the brick/banded
+        engines."""
         cfg = self.voxel_cfg
         plan = None
         if voxels is not None:
-            if len(voxels) == 5:
-                vf, vc, vv, *plan = voxels
+            if len(voxels) == 4:
+                vf, vc, vv, plan = voxels
             else:
                 vf, vc, vv = voxels
         else:
@@ -78,7 +78,7 @@ class FPNVoxelNet(nn.Module):
             # sorted SparseBatch build (argsort over max_voxel_num) is skipped
             sb = (vf, vc, vv, tuple(cfg.sparse_shape))
             if plan:
-                sb = sb + tuple(plan)
+                sb = sb + (plan,)
         else:
             sb = sp.from_voxels(vf, vc, vv, cfg.sparse_shape)
         dense, middle = FPNSpMiddleResNetFHD(

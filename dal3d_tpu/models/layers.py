@@ -160,7 +160,7 @@ class SparseConvDown(nn.Module):
     fb_cap: int = 512  # banded: out-of-band fallback capacity per tap
 
     @nn.compact
-    def __call__(self, sb, grid=None, train: bool = True):
+    def __call__(self, sb, grid=None, train: bool = True, plan=None):
         from ..ops import sparse_backend as sp
         from ..ops import sparse_brick as spb
         from ..ops.dense_sparse import sparse_conv_down_dense
@@ -178,12 +178,13 @@ class SparseConvDown(nn.Module):
                     sb, w.astype(cdt), self.kernel_size, self.stride, self.padding,
                     out_bw=self.out_bw or sb.bw, out_cap=self.out_cap,
                     band=self.band, fb_cap=self.fb_cap, grid=grid,
-                    symmetric_pad=train,
+                    symmetric_pad=train, plan=plan,
                 )
             else:
                 out = spb.downsample_conv(
                     sb, w.astype(cdt), self.kernel_size, self.stride, self.padding,
                     out_bw=self.out_bw or sb.bw, out_cap=self.out_cap, grid=grid,
+                    plan=plan,
                 )
             if self.use_bias:
                 b = self.param("bias", nn.initializers.zeros, (self.features,))

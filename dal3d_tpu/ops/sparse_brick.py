@@ -379,7 +379,7 @@ def _pad_wband_np(bw: int, C: int, with_valid: bool) -> np.ndarray:
 def subm_rulebook_banded(bb: BrickBatch, kernel_size, grid: jnp.ndarray | None = None,
                          band: int = 768, bm: int = 128, fb_cap: int = 256,
                          symmetric: bool = True, pad_band: int = 192,
-                         mid_band: int = 160):
+                         mid_band: int = 160, rb=None):
     """Banded-engine subm rulebook: standard rulebook + BandPlans.
 
     symmetric=False (predict path) skips the dual-entry symmetrization —
@@ -392,7 +392,8 @@ def subm_rulebook_banded(bb: BrickBatch, kernel_size, grid: jnp.ndarray | None =
     slab suffices; wider entries go to the exact fallback."""
     from .banded import make_band_plan
 
-    idx, hit, hidx, hhit = subm_rulebook(bb, kernel_size, grid)
+    idx, hit, hidx, hhit = (rb if rb is not None
+                            else subm_rulebook(bb, kernel_size, grid))
     B, Mb = bb.brick_lin.shape
     band = min(band, (Mb // 16) * 16)
     pad_band = min(pad_band, (Mb // 16) * 16)
@@ -474,6 +475,31 @@ def _out_dim(n: int, k: int, s: int, p: int) -> int:
     return (n + 2 * p - k) // s + 1
 
 
+def downsample_static_meta(shape, bw: int, kernel_size, stride, padding,
+                           out_bw: int):
+    """Static (shape-only) part of downsample_plan: (out_shape, meta).
+    Shared with the host-plan path, which reconstructs device plan tuples
+    from shipped arrays + this static meta."""
+    kd, kh, kw = _triple(kernel_size)
+    sd, sh, sw = _triple(stride)
+    pd, ph, pw = _triple(padding)
+    D, H, W = (int(s) for s in shape)
+    Do, Ho, Wo = _out_dim(D, kd, sd, pd), _out_dim(H, kh, sh, ph), _out_dim(W, kw, sw, pw)
+    assert Wo % out_bw == 0, f"output W={Wo} not divisible by out_bw={out_bw}"
+    assert (sw * out_bw) % bw == 0, (
+        f"stride_w*out_bw ({sw}*{out_bw}) must be a multiple of input bw={bw}"
+    )
+    w_start, w_end = -pw, sw * (out_bw - 1) - pw + kw - 1
+    # (b0h, nwb_h): halo-padded bricks covering the window for the GATHER —
+    # padded brick b spans voxels [b*bw - 1, b*bw + bw], so fewer bricks
+    # (and so fewer gathered rows) cover the same [w_start, w_end]
+    assert pw <= 1, f"halo downsample supports padding_w<=1, got {pw}"
+    b0h = (w_start + 1) // bw  # floor; covers w_start via its left halo
+    nwb_h = max(1, -(-(w_end - b0h * bw) // bw))
+    meta = dict(kd=kd, kh=kh, kw=kw, sw=sw, pw=pw, b0h=b0h, nwb_h=nwb_h)
+    return (Do, Ho, Wo), meta
+
+
 def downsample_plan(bb: BrickBatch, kernel_size, stride, padding, out_bw: int,
                     out_cap: int, grid: jnp.ndarray | None = None,
                     spatial: bool = False):
@@ -484,19 +510,11 @@ def downsample_plan(bb: BrickBatch, kernel_size, stride, padding, out_bw: int,
     pd, ph, pw = _triple(padding)
     D, H, W = bb.shape
     bw, Wb = bb.bw, bb.wb
-    Do, Ho, Wo = _out_dim(D, kd, sd, pd), _out_dim(H, kh, sh, ph), _out_dim(W, kw, sw, pw)
-    assert Wo % out_bw == 0, f"output W={Wo} not divisible by out_bw={out_bw}"
-    assert (sw * out_bw) % bw == 0, (
-        f"stride_w*out_bw ({sw}*{out_bw}) must be a multiple of input bw={bw}"
-    )
+    (Do, Ho, Wo), meta_s = downsample_static_meta(
+        bb.shape, bw, kernel_size, stride, padding, out_bw)
     A = (sw * out_bw) // bw  # input-brick advance per output brick
     w_start, w_end = -pw, sw * (out_bw - 1) - pw + kw - 1
-    # (b0h, nwb_h): halo-padded bricks covering the window for the GATHER —
-    # padded brick b spans voxels [b*bw - 1, b*bw + bw], so fewer bricks
-    # (and so fewer gathered rows) cover the same [w_start, w_end]
-    assert pw <= 1, f"halo downsample supports padding_w<=1, got {pw}"
-    b0h = (w_start + 1) // bw  # floor; covers w_start via its left halo
-    nwb_h = max(1, -(-(w_end - b0h * bw) // bw))
+    b0h, nwb_h = meta_s["b0h"], meta_s["nwb_h"]
     Wbo = Wo // out_bw
     nbc_out = Do * Ho * Wbo
 
@@ -609,7 +627,7 @@ def downsample_plan(bb: BrickBatch, kernel_size, stride, padding, out_bw: int,
 
     idx = jax.vmap(per_batch)(out_lin, grid)
     hidx, hhit = halo_indices(bb, grid)
-    meta = dict(kd=kd, kh=kh, kw=kw, sw=sw, pw=pw, b0h=b0h, nwb_h=nwb_h)
+    meta = meta_s
     out_lin, idx_c, hit, hidx, hhit = _name_plan(
         (out_lin, jnp.maximum(idx, 0), idx >= 0, hidx, hhit))
     return out_lin, idx_c, hit, (Do, Ho, Wo), meta, hidx, hhit
@@ -823,6 +841,71 @@ def count_active_bricks(coords_zyx: jnp.ndarray, valid: jnp.ndarray, shape,
     silent truncation before/while training."""
     cand, _, _, nbc, _ = _brick_candidates(coords_zyx, valid, shape, bw)
     return jax.vmap(lambda c: brick_stats(c, nbc))(cand)
+
+
+# batch keys of a host-computed sparse plan pyramid (data/sparse_plans.py):
+# L0 pack + per-level subm rulebooks (9 conv taps + 2 halo, -1 = miss) and
+# strided-downsample plans; consumed by models/backbones/scn.py
+HOST_PLAN_KEYS = (
+    "brick_row", "brick_lin",
+    "rb0", "ds1_lin", "ds1_idx",
+    "rb1", "ds2_lin", "ds2_idx",
+    "rb2", "ds3_lin", "ds3_idx",
+    "rb3", "ds4_lin", "ds4_idx",
+)
+
+
+def pack_host_rulebook(rulebook) -> jnp.ndarray:
+    """subm_rulebook tuple -> one [B, 11, Mb] int32 array (-1 = miss):
+    rows 0-8 the (dz, dy) conv taps, 9/10 the left/right halo rows."""
+    idx, hit, hidx, hhit = rulebook
+    return jnp.concatenate(
+        [jnp.where(hit, idx, -1), jnp.where(hhit, hidx, -1)], axis=1
+    ).astype(jnp.int32)
+
+
+def unpack_host_rulebook(rb: jnp.ndarray):
+    """[B, 11, Mb] int32 -> the (idx, hit, hidx, hhit) subm_rulebook tuple."""
+    idx, hidx = rb[:, :9], rb[:, 9:]
+    return (jnp.maximum(idx, 0), idx >= 0, jnp.maximum(hidx, 0), hidx >= 0)
+
+
+def host_downsample_plan(bb: BrickBatch, kernel_size, stride, padding,
+                         out_bw: int, ds_lin: jnp.ndarray, ds_idx: jnp.ndarray,
+                         rb: jnp.ndarray):
+    """Reassemble a downsample_plan tuple from host-shipped arrays: the
+    dynamic parts (output bricks ds_lin, rulebook ds_idx with -1 = miss, and
+    the input level's halo rows from its packed rulebook ``rb``) plus the
+    static meta recomputed from shapes."""
+    out_shape, meta = downsample_static_meta(
+        bb.shape, bb.bw, kernel_size, stride, padding, out_bw)
+    _, _, hidx, hhit = unpack_host_rulebook(rb)
+    return (ds_lin, jnp.maximum(ds_idx, 0), ds_idx >= 0, out_shape, meta,
+            hidx, hhit)
+
+
+def pack_plan_arrays(coords_zyx: jnp.ndarray, valid: jnp.ndarray, shape,
+                     bw: int, mb_cap: int, spatial: bool = False):
+    """Plan-only twin of from_voxels: (brick_lin [B, Mb], row [B, N]).
+
+    row is each voxel's target brick row (-1 = invalid/dropped). Exactly the
+    compaction + grid + row-assignment from_voxels performs, minus the
+    feature scatter — the host pyramid-plan path (data/sparse_plans.py) runs
+    this on the CPU backend so loader plans are bit-identical to the device
+    pack by construction."""
+    D, H, W = (int(s) for s in shape)
+    cand, cell, _, nbc, Wb = _brick_candidates(coords_zyx, valid, shape, bw)
+
+    def per_batch(cand_b, cell_b, vld):
+        if spatial:
+            lin = _compact_cells_spatial(cand_b, nbc, mb_cap, (D, H, Wb))
+        else:
+            lin = _compact_cells(cand_b, nbc, mb_cap)
+        grid = _grid_from_lin(lin, nbc, mb_cap)
+        row = grid[cell_b]
+        return lin, jnp.where(vld & (row >= 0), row, -1).astype(jnp.int32)
+
+    return jax.vmap(per_batch)(cand, cell, valid)
 
 
 def from_voxels(features: jnp.ndarray, coords_zyx: jnp.ndarray, valid: jnp.ndarray,

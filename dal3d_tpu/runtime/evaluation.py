@@ -28,9 +28,10 @@ def predict_dataset(
     n_done = 0
     for batch in loader:
         # host-voxelized batches: skip the raw-point H2D payload entirely
+        from ..ops.sparse_brick import HOST_PLAN_KEYS
+
         feed_keys = (
-            ("voxel_features", "voxel_coords", "voxel_valid",
-             "brick_row", "brick_lin")
+            ("voxel_features", "voxel_coords", "voxel_valid") + HOST_PLAN_KEYS
             if "voxel_features" in batch else ("points", "points_valid")
         )
         out = predict(params, batch_stats, {k: batch[k] for k in feed_keys if k in batch})

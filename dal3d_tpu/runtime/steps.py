@@ -57,8 +57,11 @@ def make_train_step(bundle, optimizer) -> Callable:
             if "voxel_features" in batch else None
         )
         if voxels is not None and "brick_row" in batch:
-            # host brick-pack plan (native brick_pack_plan via the loader)
-            voxels = voxels + (batch["brick_row"], batch["brick_lin"])
+            # host sparse-plan pyramid (data/sparse_plans.py via the loader)
+            from ..ops.sparse_brick import HOST_PLAN_KEYS
+
+            voxels = voxels + ({k: batch[k] for k in HOST_PLAN_KEYS
+                                if k in batch},)
 
         def loss_fn(params):
             out, new_model_state = model.apply(
@@ -111,8 +114,11 @@ def make_predict_step(bundle) -> Callable:
             if "voxel_features" in batch else None
         )
         if voxels is not None and "brick_row" in batch:
-            # host brick-pack plan (native brick_pack_plan via the loader)
-            voxels = voxels + (batch["brick_row"], batch["brick_lin"])
+            # host sparse-plan pyramid (data/sparse_plans.py via the loader)
+            from ..ops.sparse_brick import HOST_PLAN_KEYS
+
+            voxels = voxels + ({k: batch[k] for k in HOST_PLAN_KEYS
+                                if k in batch},)
         if voxels is not None and "points" not in batch:
             # host-voxelized feed: the raw point cloud is not needed (and at
             # 250k pts x 5 x f32 it would dominate the H2D payload)

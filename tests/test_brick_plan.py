@@ -148,11 +148,73 @@ def test_planned_pack_through_model_forward():
     va = (jnp.asarray(vf), jnp.asarray(vc), jnp.asarray(vv))
     out_plain = model.apply(variables, batch["points"][:1],
                             batch["points_valid"][:1], False, voxels=va)
+    plan = {"brick_row": jnp.asarray(rows), "brick_lin": jnp.asarray(lin)[None]}
     out_plan = model.apply(
         variables, batch["points"][:1], batch["points_valid"][:1], False,
-        voxels=va + (jnp.asarray(rows), jnp.asarray(lin)[None]))
+        voxels=va + (plan,))
     np.testing.assert_array_equal(np.asarray(out_plain["embedding"]),
                                   np.asarray(out_plan["embedding"]))
+
+
+@pytest.mark.parametrize("impl", ["brick", "banded"])
+def test_full_pyramid_plan_through_model_forward(impl):
+    """The FULL host plan pyramid (pack + per-level rulebooks + downsample
+    plans, data/sparse_plans.py) produces bit-identical forward outputs to
+    the all-on-device plan path, for both brick engines."""
+    import jax
+
+    import __graft_entry__ as ge
+    from dal3d_tpu.data.sparse_plans import compute_sparse_plans
+    from dal3d_tpu.models import FPNVoxelNet
+    from dal3d_tpu.models.backbones.scn import brick_level_widths, l0_brick_knobs
+    from dal3d_tpu.native import host_ops as ho
+
+    widths = (4, 4, 2, 1, 1)
+    caps = (2048, 1024, 512, 256, 256)
+    bundle, batch = ge._tiny_setup(batch=2)
+    m = bundle.model
+    kwargs = dict(
+        voxel_cfg=m.voxel_cfg, num_classes=m.num_classes,
+        voxel_caps=m.voxel_caps, rpn_ds_filters=m.rpn_ds_filters,
+        rpn_us_filters=m.rpn_us_filters, backbone_impl=impl,
+        brick_widths=widths)
+    kwargs["banded_caps" if impl == "banded" else "brick_caps"] = caps
+    model = FPNVoxelNet(**kwargs)
+
+    cfg = m.voxel_cfg
+    B = 2
+    M = cfg.max_voxel_num
+    vf = np.zeros((B, M, 5), np.float32)
+    vc = np.zeros((B, M, 3), np.int32)
+    vv = np.zeros((B, M), bool)
+    for b in range(B):
+        pts = np.asarray(batch["points"][b])
+        feats, coords, npts = ho.points_to_voxel_mean(
+            pts, cfg.voxel_size, cfg.point_cloud_range, cfg.max_points_in_voxel, M)
+        n = len(feats)
+        vf[b, :n], vc[b, :n], vv[b, :n] = feats, coords, True
+
+    bcfg = dict(impl=impl, brick_widths=widths)
+    bcfg["banded_caps" if impl == "banded" else "brick_caps"] = caps
+    knobs = l0_brick_knobs(bcfg, cfg.sparse_shape[2])
+    plans = compute_sparse_plans(vc, vv, cfg.sparse_shape, knobs["widths"],
+                                 knobs["caps"], knobs["spatial"])
+    assert plans is not None
+    assert set(plans) == set(spb.HOST_PLAN_KEYS)
+
+    variables = jax.jit(model.init, static_argnums=(3,))(
+        jax.random.PRNGKey(0), batch["points"], batch["points_valid"], False)
+    va = (jnp.asarray(vf), jnp.asarray(vc), jnp.asarray(vv))
+    out_plain = model.apply(variables, batch["points"], batch["points_valid"],
+                            False, voxels=va)
+    out_plan = model.apply(
+        variables, batch["points"], batch["points_valid"], False,
+        voxels=va + ({k: jnp.asarray(v) for k, v in plans.items()},))
+    np.testing.assert_array_equal(np.asarray(out_plain["embedding"]),
+                                  np.asarray(out_plan["embedding"]))
+    np.testing.assert_array_equal(
+        np.asarray(out_plain["preds"][0]["box_preds"]),
+        np.asarray(out_plan["preds"][0]["box_preds"]))
 
 
 def test_brick_plan_batch_shards_over_mesh():

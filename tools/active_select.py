@@ -118,9 +118,10 @@ def main():
         predict, mesh = sharded_eval_predict(bundle, logger, what="pool scoring")
 
         def score_fn(batch):
+            from dal3d_tpu.ops.sparse_brick import HOST_PLAN_KEYS
+
             keys = (
-                ("voxel_features", "voxel_coords", "voxel_valid",
-                 "brick_row", "brick_lin")
+                ("voxel_features", "voxel_coords", "voxel_valid") + HOST_PLAN_KEYS
                 if "voxel_features" in batch else ("points", "points_valid")
             )
             return predict(

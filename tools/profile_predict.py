@@ -57,18 +57,17 @@ def main():
     # PLAN_HOST=1: feed the host brick-pack plan (loader-side in production)
     plan = None
     if os.environ.get("PLAN_HOST", "0") == "1":
-        from dal3d_tpu.models.builder import build_host_brick_plan, host_voxelize_cfg
+        from dal3d_tpu.models.builder import build_host_sparse_plans, host_voxelize_cfg
         bp = (host_voxelize_cfg(cfg) or {}).get("brick")
         if bp:
-            rows, lins = build_host_brick_plan(
-                vc, vv, bundle.voxel_cfg.sparse_shape, bp)
-            plan = (jnp.asarray(rows), jnp.asarray(lins))
-            print(f"host plan: bw={bp['bw']} cap={bp['mb_cap']} "
-                  f"spatial={bp['spatial']}")
+            plan = {k: jnp.asarray(v) for k, v in build_host_sparse_plans(
+                vc, vv, bundle.voxel_cfg.sparse_shape, bp).items()}
+            print(f"host plan: {sorted(plan)} bw={bp['bw']} "
+                  f"cap={bp['mb_cap']} spatial={bp['spatial']}")
 
     def upto(stage):
         def f(params, bstats, vfj, vcj, vvj):
-            vtuple = (vfj, vcj, vvj) if plan is None else (vfj, vcj, vvj) + plan
+            vtuple = (vfj, vcj, vvj) if plan is None else (vfj, vcj, vvj, plan)
             out = model.apply({"params": params, "batch_stats": bstats},
                               batch["points"], batch["points_valid"], False,
                               voxels=vtuple)

@@ -59,15 +59,15 @@ def main():
     }
     if os.environ.get("PLAN_HOST", "0") == "1":
         # host brick-pack plan (loader-side in production)
-        from dal3d_tpu.models.builder import build_host_brick_plan, host_voxelize_cfg
+        from dal3d_tpu.models.builder import build_host_sparse_plans, host_voxelize_cfg
         bp = (host_voxelize_cfg(cfg) or {}).get("brick")
         if bp:
-            rows, lins = build_host_brick_plan(
+            plans = build_host_sparse_plans(
                 vc, vv, bundle.voxel_cfg.sparse_shape, bp)
-            batch["brick_row"] = jnp.asarray(rows)
-            batch["brick_lin"] = jnp.asarray(lins)
-            print(f"host plan: bw={bp['bw']} cap={bp['mb_cap']} "
-                  f"spatial={bp['spatial']}")
+            for k, v in plans.items():
+                batch[k] = jnp.asarray(v)
+            print(f"host plan: {sorted(plans)} bw={bp['bw']} "
+                  f"cap={bp['mb_cap']} spatial={bp['spatial']}")
     opt = build_optimizer(OneCycleSchedule(total_steps=100))
     state = create_train_state(bundle, opt, jax.random.PRNGKey(0), batch)
     step = make_train_step(bundle, opt)
