@@ -210,6 +210,7 @@ class ReformatFixedShape:
                     plans = compute_sparse_plans(
                         vcoords[None], vvalid[None], shape,
                         bp["widths"], bp["caps"], bool(bp.get("spatial", False)),
+                        banded_knobs=bp.get("banded_knobs"),
                     )
                 if plans is not None:
                     for k, v in plans.items():

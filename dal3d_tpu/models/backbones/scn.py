@@ -62,8 +62,18 @@ def l0_brick_knobs(backbone_cfg: dict, W: int):
             else backbone_cfg.get("brick_caps", BRICK_CAPS_DEFAULT)
         )
     )
-    return dict(bw=widths[0], mb_cap=caps[0], spatial=impl == "banded",
-                widths=widths, caps=caps)
+    out = dict(bw=widths[0], mb_cap=caps[0], spatial=impl == "banded",
+               widths=widths, caps=caps)
+    if impl == "banded":
+        # BandPlan knobs (must match the _BrickL0/_BrickStage call sites)
+        out["banded_knobs"] = dict(
+            band_widths=tuple(
+                int(b) for b in backbone_cfg.get("band_widths", BAND_WIDTHS_DEFAULT)),
+            down_bands=tuple(
+                int(b) for b in backbone_cfg.get("down_bands", DOWN_BANDS_DEFAULT)),
+            fb_cap=int(backbone_cfg.get("band_fb_cap", 256)),
+        )
+    return out
 
 
 # rematerialized blocks for the dense engine: each stage's activations are
@@ -211,7 +221,8 @@ class _BrickL0(nn.Module):
         if self.banded:
             rb = spb.subm_rulebook_banded(bb, 3, grid, band=self.band,
                                           fb_cap=self.fb_cap, symmetric=train,
-                                          rb=host_rb)
+                                          rb=host_rb,
+                                          host_arrays=spb.plan_subdict(plan, "bp_rb0_"))
         else:
             rb = host_rb if host_rb is not None else spb.subm_rulebook(bb, 3, grid)
         x = SubMConv(16, use_bias=False, dtype=self.dtype)(bb, rb)
@@ -228,7 +239,8 @@ class _BrickL0(nn.Module):
             32, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.out_cap,
             use_bias=False, dtype=self.dtype, out_bw=self.bw_out,
             banded=self.banded, band=self.down_band, fb_cap=self.fb_cap * 2,
-        )(x, grid=grid, train=train, plan=ds_plan)
+        )(x, grid=grid, train=train, plan=ds_plan,
+          band_arrays=spb.plan_subdict(plan, "bp_ds1_") if ds_plan is not None else None)
         f = nn.relu(MaskedBatchNorm()(x.feat4(), x.vmask, train))
         return x.replace(features=f.reshape(x.features.shape))
 
@@ -263,9 +275,10 @@ class _BrickStage(nn.Module):
         grid = None if (host_rb is not None and has_ds) else spb.build_brick_grid(x)
         if self.num_blocks > 0:
             if self.banded:
-                rb = spb.subm_rulebook_banded(x, 3, grid, band=self.band,
-                                              fb_cap=self.fb_cap, symmetric=train,
-                                              rb=host_rb)
+                rb = spb.subm_rulebook_banded(
+                    x, 3, grid, band=self.band, fb_cap=self.fb_cap,
+                    symmetric=train, rb=host_rb,
+                    host_arrays=spb.plan_subdict(plan, f"bp_{rb_key}_"))
             else:
                 rb = host_rb if host_rb is not None else spb.subm_rulebook(x, 3, grid)
             for _ in range(self.num_blocks):
@@ -280,7 +293,8 @@ class _BrickStage(nn.Module):
             self.out_planes, self.down_kernel, self.down_stride, self.down_padding,
             self.out_cap, use_bias=False, dtype=self.dtype, out_bw=self.bw_out,
             banded=self.banded, band=self.down_band, fb_cap=self.fb_cap * 2,
-        )(x, grid=grid, train=train, plan=ds_plan)
+        )(x, grid=grid, train=train, plan=ds_plan,
+          band_arrays=spb.plan_subdict(plan, f"bp_{ds_key}_") if ds_plan is not None else None)
         f = nn.relu(MaskedBatchNorm()(x.feat4(), x.vmask, train))
         return x.replace(features=f.reshape(x.features.shape))
 

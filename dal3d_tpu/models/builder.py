@@ -198,7 +198,8 @@ def build_host_sparse_plans(vc, vv, sparse_shape, bp):
         from ..data.sparse_plans import compute_sparse_plans
 
         plans = compute_sparse_plans(vc, vv, sparse_shape, bp["widths"],
-                                     bp["caps"], bp["spatial"])
+                                     bp["caps"], bp["spatial"],
+                                     banded_knobs=bp.get("banded_knobs"))
         if plans is not None:
             return plans
     rows, lins = build_host_brick_plan(vc, vv, sparse_shape, bp)

@@ -160,7 +160,8 @@ class SparseConvDown(nn.Module):
     fb_cap: int = 512  # banded: out-of-band fallback capacity per tap
 
     @nn.compact
-    def __call__(self, sb, grid=None, train: bool = True, plan=None):
+    def __call__(self, sb, grid=None, train: bool = True, plan=None,
+                 band_arrays=None):
         from ..ops import sparse_backend as sp
         from ..ops import sparse_brick as spb
         from ..ops.dense_sparse import sparse_conv_down_dense
@@ -178,7 +179,7 @@ class SparseConvDown(nn.Module):
                     sb, w.astype(cdt), self.kernel_size, self.stride, self.padding,
                     out_bw=self.out_bw or sb.bw, out_cap=self.out_cap,
                     band=self.band, fb_cap=self.fb_cap, grid=grid,
-                    symmetric_pad=train, plan=plan,
+                    symmetric_pad=train, plan=plan, band_arrays=band_arrays,
                 )
             else:
                 out = spb.downsample_conv(

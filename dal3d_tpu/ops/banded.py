@@ -120,6 +120,18 @@ class BandPlan:
         return self.bands[0]
 
 
+def band_plan_fields():
+    """Array (pytree) fields of BandPlan, in declaration order — the host
+    plan pyramid ships exactly these per plan (static fields are
+    reconstructed from the shared knob helpers in ops/sparse_brick.py)."""
+    return ("idx_k", "starts", "fb_idx", "fb_rows", "oob_count", "fb_covered")
+
+
+def band_plan_arrays(plan: "BandPlan", prefix: str = ""):
+    """{prefix+field: array} serialization of a BandPlan's dynamic leaves."""
+    return {prefix + f: getattr(plan, f) for f in band_plan_fields()}
+
+
 def _group_maps(groups, bands, Q):
     """(g_of_q [Q], band_of_q [Q], slab offsets [G], sum_bands)."""
     g_of_q = np.full((Q,), -1, np.int64)

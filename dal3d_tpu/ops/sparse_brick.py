@@ -376,10 +376,37 @@ def _pad_wband_np(bw: int, C: int, with_valid: bool) -> np.ndarray:
     return W
 
 
+def _subm_band_statics(kernel_size, Mb: int, band: int, mid_band: int, bm: int,
+                       pad_band: int):
+    """Static knob derivation of the banded subm plans — ONE place shared by
+    the device build and the host-plan reconstruction (a drifted copy would
+    make shipped plans silently wrong).
+
+    Conv taps of one dy cluster around a common rank offset (~one y-row
+    pitch apart between groups) — per-dy slabs are ~3x narrower than one
+    slab covering all taps, and the onehot MXU cost scales with the sum of
+    per-tap bands. The dy-center group holds the dz=+-1 taps (rank-adjacent
+    under y-major order) plus the direct-read self tap; mid_band >= bm is
+    required by the self-tap floor."""
+    kd, kh, _ = _triple(kernel_size)
+    groups = tuple(tuple(iz * kh + iy for iz in range(kd)) for iy in range(kh))
+    mid = kh // 2 if kh % 2 else None
+    gbands = tuple(
+        min(max(mid_band, bm) if iy == mid else band, (Mb // 16) * 16)
+        for iy in range(kh)
+    )
+    self_tap = (kd * kh) // 2 if kd % 2 and kh % 2 else None
+    return dict(
+        conv=dict(groups=groups, bands=gbands, bm=bm, self_tap=self_tap),
+        pad=dict(groups=((0, 1, 2),), bands=(min(pad_band, (Mb // 16) * 16),),
+                 bm=bm, self_tap=1),
+    )
+
+
 def subm_rulebook_banded(bb: BrickBatch, kernel_size, grid: jnp.ndarray | None = None,
                          band: int = 768, bm: int = 128, fb_cap: int = 256,
                          symmetric: bool = True, pad_band: int = 192,
-                         mid_band: int = 160, rb=None):
+                         mid_band: int = 160, rb=None, host_arrays=None):
     """Banded-engine subm rulebook: standard rulebook + BandPlans.
 
     symmetric=False (predict path) skips the dual-entry symmetrization —
@@ -389,14 +416,27 @@ def subm_rulebook_banded(bb: BrickBatch, kernel_size, grid: jnp.ndarray | None =
     pad_band: slab width of the halo-pad plan. Measured on lidar clouds the
     left/right halo rows sit within |idx-m| <= 3 of their output row (they
     are spatially adjacent bricks under the y-major compaction), so a narrow
-    slab suffices; wider entries go to the exact fallback."""
-    from .banded import make_band_plan
+    slab suffices; wider entries go to the exact fallback.
+
+    host_arrays: loader-shipped BandPlan arrays (data/sparse_plans.py,
+    prefixes conv_/pad_) — the plans are then reassembled with the SAME
+    static knobs instead of rebuilt; host plans are always built
+    symmetric=True (exact for predict too, required for the train backward).
+    """
+    from .banded import BandPlan, band_plan_fields, make_band_plan
+
+    B, Mb = bb.brick_lin.shape
+    band = min(band, (Mb // 16) * 16)
+    statics = _subm_band_statics(kernel_size, Mb, band, mid_band, bm, pad_band)
+    if host_arrays is not None:
+        plans = {}
+        for part in ("conv", "pad"):
+            arrs = {f: host_arrays[f"{part}_{f}"] for f in band_plan_fields()}
+            plans[part] = BandPlan(**arrs, **statics[part], symmetric=True)
+        return BandedSubmRulebook(conv_plan=plans["conv"], pad_plan=plans["pad"])
 
     idx, hit, hidx, hhit = (rb if rb is not None
                             else subm_rulebook(bb, kernel_size, grid))
-    B, Mb = bb.brick_lin.shape
-    band = min(band, (Mb // 16) * 16)
-    pad_band = min(pad_band, (Mb // 16) * 16)
     self_idx = jnp.broadcast_to(
         jax.lax.broadcasted_iota(jnp.int32, (1, 1, Mb), 2), (B, 1, Mb)
     )
@@ -404,24 +444,11 @@ def subm_rulebook_banded(bb: BrickBatch, kernel_size, grid: jnp.ndarray | None =
     phit = jnp.concatenate(
         [hhit[:, :1], jnp.ones((B, 1, Mb), bool), hhit[:, 1:2]], axis=1
     )
-    kd, kh, _ = _triple(kernel_size)
-    # taps of one dy cluster around a common rank offset (~one y-row pitch
-    # apart between groups) — per-dy slabs are ~3x narrower than one slab
-    # covering all taps, and the onehot MXU cost scales with sum of per-tap
-    # bands. The dy-center group holds the dz=+-1 taps (rank-adjacent under
-    # y-major order) plus the direct-read self tap; mid_band >= bm is
-    # required by the self-tap floor.
-    groups = tuple(tuple(iz * kh + iy for iz in range(kd)) for iy in range(kh))
-    mid = kh // 2 if kh % 2 else None
-    gbands = tuple(
-        min(max(mid_band, bm) if iy == mid else band, (Mb // 16) * 16)
-        for iy in range(kh)
-    )
+    cs, ps = statics["conv"], statics["pad"]
     conv_plan = make_band_plan(idx, hit, Mb, bm=bm, fb_cap=fb_cap,
-                               symmetric=symmetric,
-                               self_tap=(kd * kh) // 2 if kd % 2 and kh % 2 else None,
-                               groups=groups, group_bands=gbands)
-    pad_plan = make_band_plan(pidx, phit, Mb, pad_band, bm,
+                               symmetric=symmetric, self_tap=cs["self_tap"],
+                               groups=cs["groups"], group_bands=cs["bands"])
+    pad_plan = make_band_plan(pidx, phit, Mb, ps["bands"][0], bm,
                               max(fb_cap // 2, 64), symmetric=symmetric,
                               self_tap=1)
     return BandedSubmRulebook(conv_plan=conv_plan, pad_plan=pad_plan)
@@ -716,17 +743,84 @@ def downsample_conv(bb: BrickBatch, weights: jnp.ndarray, kernel_size, stride,
     )
 
 
+def downsample_band_statics(Mb: int, band: int, bm: int, kd: int, kh: int,
+                            nwb_h: int):
+    """Static knobs of the banded strided-conv plans — shared by the device
+    build and the host-plan reconstruction. Conv taps grouped by input dy:
+    each dy row's taps (all dz, dwb) cluster around one rank offset; the
+    dz/dwb jitter plus the ~(Mb_in/Mo)-scaled block span fit a slab far
+    narrower than one covering all dy rows. Pad halo rows are adjacent
+    (|idx-m| <= 3) so a narrow pad slab suffices."""
+    cband = min(band, (Mb // 16) * 16)
+    dgroups = tuple(
+        tuple((iz * kh + iy) * nwb_h + iw
+              for iz in range(kd) for iw in range(nwb_h))
+        for iy in range(kh)
+    )
+    return dict(
+        conv=dict(groups=dgroups, bands=(cband,) * kh, bm=bm, self_tap=None),
+        pad=dict(groups=((0, 1, 2),), bands=(min(192, (Mb // 16) * 16),),
+                 bm=bm, self_tap=1),
+    )
+
+
+def downsample_band_plans(plan, Mb: int, band: int, bm: int, fb_cap: int,
+                          symmetric_pad: bool):
+    """(pad_plan, conv_plan) of a banded strided conv from its downsample
+    plan tuple — the device path builds them per call; the host pyramid
+    (data/sparse_plans.py) runs this same function on CPU and ships the
+    arrays."""
+    from .banded import make_band_plan
+
+    out_lin, idx, hit, out_shape, meta, hidx, hhit = plan
+    B = out_lin.shape[0]
+    statics = downsample_band_statics(Mb, band, bm, meta["kd"], meta["kh"],
+                                      meta["nwb_h"])
+    self_idx = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, Mb), 2), (B, 1, Mb)
+    )
+    pidx = jnp.concatenate([hidx[:, :1], self_idx, hidx[:, 1:2]], axis=1)
+    phit = jnp.concatenate(
+        [hhit[:, :1], jnp.ones((B, 1, Mb), bool), hhit[:, 1:2]], axis=1
+    )
+    ps, cs = statics["pad"], statics["conv"]
+    pad_plan = make_band_plan(pidx, phit, Mb, ps["bands"][0], bm,
+                              max(fb_cap // 2, 64), symmetric=symmetric_pad,
+                              self_tap=1)
+    conv_plan = make_band_plan(idx, hit, Mb, bm=bm, fb_cap=fb_cap,
+                               symmetric=False, groups=cs["groups"],
+                               group_bands=cs["bands"])
+    return pad_plan, conv_plan
+
+
+def downsample_band_from_arrays(host_arrays, Mb: int, band: int, bm: int,
+                                meta: dict):
+    """Reassemble (pad_plan, conv_plan) from loader-shipped arrays with the
+    same static knobs (host plans are built symmetric_pad=True)."""
+    from .banded import BandPlan, band_plan_fields
+
+    statics = downsample_band_statics(Mb, band, bm, meta["kd"], meta["kh"],
+                                      meta["nwb_h"])
+    plans = {}
+    for part, sym in (("pad", True), ("conv", False)):
+        arrs = {f: host_arrays[f"{part}_{f}"] for f in band_plan_fields()}
+        plans[part] = BandPlan(**arrs, **statics[part], symmetric=sym)
+    return plans["pad"], plans["conv"]
+
+
 def downsample_conv_banded(bb: BrickBatch, weights: jnp.ndarray, kernel_size,
                            stride, padding, out_bw: int, out_cap: int,
                            band: int = 1024, bm: int = 128, fb_cap: int = 512,
                            plan=None, grid: jnp.ndarray | None = None,
-                           symmetric_pad: bool = True) -> BrickBatch:
+                           symmetric_pad: bool = True,
+                           band_arrays=None) -> BrickBatch:
     """Strided sparse conv on the banded engine: the combined
     [features | validity] halo-padded table is built by a 3-tap banded
     matmul, then the Q = kd*kh*nwb_h tap gather+conv runs as one banded
     kernel (exact out-of-band fallback; not tap-symmetric, so the d/dtable
-    backward is an XLA scatter-add)."""
-    from .banded import _pad128, banded_gather_matmul, make_band_plan
+    backward is an XLA scatter-add). band_arrays: loader-shipped BandPlan
+    arrays (requires ``plan`` to be host-shipped too)."""
+    from .banded import _pad128, banded_gather_matmul
 
     if plan is None:
         plan = downsample_plan(bb, kernel_size, stride, padding, out_bw, out_cap,
@@ -741,33 +835,15 @@ def downsample_conv_banded(bb: BrickBatch, weights: jnp.ndarray, kernel_size,
     Mb = bb.brick_lin.shape[1]
     dt = bb.features.dtype
 
-    # halo-padded combined table via the banded pad call
-    self_idx = jnp.broadcast_to(
-        jax.lax.broadcasted_iota(jnp.int32, (1, 1, Mb), 2), (B, 1, Mb)
-    )
-    pidx = jnp.concatenate([hidx[:, :1], self_idx, hidx[:, 1:2]], axis=1)
-    phit = jnp.concatenate(
-        [hhit[:, :1], jnp.ones((B, 1, Mb), bool), hhit[:, 1:2]], axis=1
-    )
-    pband = min(192, (Mb // 16) * 16)  # halo rows are adjacent (|idx-m|<=3)
-    pad_plan = make_band_plan(pidx, phit, Mb, pband, bm, max(fb_cap // 2, 64),
-                              symmetric=symmetric_pad, self_tap=1)
+    if band_arrays is not None:
+        pad_plan, conv_plan = downsample_band_from_arrays(
+            band_arrays, Mb, band, bm, meta)
+    else:
+        pad_plan, conv_plan = downsample_band_plans(
+            plan, Mb, band, bm, fb_cap, symmetric_pad)
     rows_v = jnp.concatenate([bb.features, bb.vmask.astype(dt)], axis=-1)
     pad_w = jnp.asarray(_pad_wband_np(bw, C, with_valid=True), dt)
     padded = banded_gather_matmul(rows_v, pad_w, pad_plan)  # [B, Mb, R2p]
-
-    # group taps by input dy: each dy row's taps (all dz, dwb) cluster
-    # around one rank offset; the dz/dwb jitter plus the ~(Mb_in/Mo)-scaled
-    # block span fit a slab far narrower than one covering all dy rows.
-    cband = min(band, (Mb // 16) * 16)
-    dgroups = tuple(
-        tuple((iz * kh + iy) * nwb_h + iw
-              for iz in range(kd) for iw in range(nwb_h))
-        for iy in range(kh)
-    )
-    conv_plan = make_band_plan(idx, hit, Mb, bm=bm, fb_cap=fb_cap,
-                               symmetric=False, groups=dgroups,
-                               group_bands=(cband,) * kh)
 
     # per-tap block-diagonal weights [Q, R2p, Routt]
     R2 = (bw + 2) * (C + 1)
@@ -853,6 +929,21 @@ HOST_PLAN_KEYS = (
     "rb2", "ds3_lin", "ds3_idx",
     "rb3", "ds4_lin", "ds4_idx",
 )
+# banded engine additionally ships BandPlan arrays under "bp_<plan>_<field>"
+# keys (bp_rb{0..3}_{conv,pad}_*, bp_ds{1..4}_{conv,pad}_*)
+HOST_PLAN_PREFIX = "bp_"
+
+
+def host_plan_batch_keys(batch) -> tuple:
+    """The host-plan keys present in a batch/example dict (pyramid + banded)."""
+    return tuple(k for k in batch
+                 if k in HOST_PLAN_KEYS or k.startswith(HOST_PLAN_PREFIX))
+
+
+def plan_subdict(plan: dict, prefix: str):
+    """Strip-prefix sub-dict of a plan dict, or None when absent."""
+    d = {k[len(prefix):]: v for k, v in plan.items() if k.startswith(prefix)}
+    return d or None
 
 
 def pack_host_rulebook(rulebook) -> jnp.ndarray:

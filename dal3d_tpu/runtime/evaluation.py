@@ -28,10 +28,11 @@ def predict_dataset(
     n_done = 0
     for batch in loader:
         # host-voxelized batches: skip the raw-point H2D payload entirely
-        from ..ops.sparse_brick import HOST_PLAN_KEYS
+        from ..ops.sparse_brick import host_plan_batch_keys
 
         feed_keys = (
-            ("voxel_features", "voxel_coords", "voxel_valid") + HOST_PLAN_KEYS
+            ("voxel_features", "voxel_coords", "voxel_valid")
+            + host_plan_batch_keys(batch)
             if "voxel_features" in batch else ("points", "points_valid")
         )
         out = predict(params, batch_stats, {k: batch[k] for k in feed_keys if k in batch})

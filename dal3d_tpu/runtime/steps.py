@@ -58,10 +58,10 @@ def make_train_step(bundle, optimizer) -> Callable:
         )
         if voxels is not None and "brick_row" in batch:
             # host sparse-plan pyramid (data/sparse_plans.py via the loader)
-            from ..ops.sparse_brick import HOST_PLAN_KEYS
+            from ..ops.sparse_brick import host_plan_batch_keys
 
-            voxels = voxels + ({k: batch[k] for k in HOST_PLAN_KEYS
-                                if k in batch},)
+            voxels = voxels + (
+                {k: batch[k] for k in host_plan_batch_keys(batch)},)
 
         def loss_fn(params):
             out, new_model_state = model.apply(
@@ -115,10 +115,10 @@ def make_predict_step(bundle) -> Callable:
         )
         if voxels is not None and "brick_row" in batch:
             # host sparse-plan pyramid (data/sparse_plans.py via the loader)
-            from ..ops.sparse_brick import HOST_PLAN_KEYS
+            from ..ops.sparse_brick import host_plan_batch_keys
 
-            voxels = voxels + ({k: batch[k] for k in HOST_PLAN_KEYS
-                                if k in batch},)
+            voxels = voxels + (
+                {k: batch[k] for k in host_plan_batch_keys(batch)},)
         if voxels is not None and "points" not in batch:
             # host-voxelized feed: the raw point cloud is not needed (and at
             # 250k pts x 5 x f32 it would dominate the H2D payload)

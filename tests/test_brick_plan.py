@@ -198,9 +198,15 @@ def test_full_pyramid_plan_through_model_forward(impl):
     bcfg["banded_caps" if impl == "banded" else "brick_caps"] = caps
     knobs = l0_brick_knobs(bcfg, cfg.sparse_shape[2])
     plans = compute_sparse_plans(vc, vv, cfg.sparse_shape, knobs["widths"],
-                                 knobs["caps"], knobs["spatial"])
+                                 knobs["caps"], knobs["spatial"],
+                                 banded_knobs=knobs.get("banded_knobs"))
     assert plans is not None
-    assert set(plans) == set(spb.HOST_PLAN_KEYS)
+    assert set(spb.HOST_PLAN_KEYS) <= set(plans)
+    if impl == "banded":
+        # BandPlans shipped too: subm conv/pad + strided conv/pad per level
+        assert "bp_rb0_conv_idx_k" in plans and "bp_ds4_pad_starts" in plans
+    else:
+        assert not any(k.startswith("bp_") for k in plans)
 
     variables = jax.jit(model.init, static_argnums=(3,))(
         jax.random.PRNGKey(0), batch["points"], batch["points_valid"], False)

@@ -118,10 +118,11 @@ def main():
         predict, mesh = sharded_eval_predict(bundle, logger, what="pool scoring")
 
         def score_fn(batch):
-            from dal3d_tpu.ops.sparse_brick import HOST_PLAN_KEYS
+            from dal3d_tpu.ops.sparse_brick import host_plan_batch_keys
 
             keys = (
-                ("voxel_features", "voxel_coords", "voxel_valid") + HOST_PLAN_KEYS
+                ("voxel_features", "voxel_coords", "voxel_valid")
+                + host_plan_batch_keys(batch)
                 if "voxel_features" in batch else ("points", "points_valid")
             )
             return predict(

@@ -88,10 +88,10 @@ def main():
         pred = None
         det = detections.get(token)
         if det is None and predict is not None:
-            from dal3d_tpu.ops.sparse_brick import HOST_PLAN_KEYS
+            from dal3d_tpu.ops.sparse_brick import host_plan_batch_keys
 
             keys = (("voxel_features", "voxel_coords", "voxel_valid")
-                    + HOST_PLAN_KEYS
+                    + host_plan_batch_keys(batch)
                     if "voxel_features" in batch else ("points", "points_valid"))
             out = predict(state.params, state.batch_stats,
                           {k: batch[k] for k in keys if k in batch})
