@@ -12,9 +12,9 @@ benchmark harness bevfusion/tools/benchmark.py); BASELINE.md's target is
 
 Engine selection: BENCH_IMPL=brick|banded|hybrid|gather pins one sparse
 engine. With BENCH_IMPL unset the harness A/B-tests the two production
-engines — brick inline, banded in a timeout-guarded subprocess (a banded
-hang/crash cannot take down the whole bench) — and reports the faster.
-BENCH_AUTO=0 disables the A/B and pins brick.
+engines — banded (the config default) inline, brick in a timeout-guarded
+subprocess (a hang/crash cannot take down the whole bench) — and reports
+the faster. BENCH_AUTO=0 disables the A/B and pins banded.
 """
 import json
 import os
@@ -185,17 +185,19 @@ def main():
     if not _probe_backend(float(os.environ.get("BENCH_PROBE_TIMEOUT", 300))):
         sys.exit(3)
 
-    engine = impl or "brick"
-    scans_per_sec = measure_throughput(impl or "brick")
+    engine = impl or "banded"
+    scans_per_sec = measure_throughput(impl or "banded")
     if impl is None and os.environ.get("BENCH_AUTO", "1") != "0":
-        # A/B the banded MXU engine in a guarded subprocess; keep the winner
+        # A/B the brick fallback engine in a guarded subprocess; keep the
+        # winner (banded measured 16.5 vs brick 9.9 scans/s on chip — the
+        # A/B is a safety net in case banded regresses on a given chip)
         budget = float(os.environ.get("BENCH_AUTO_TIMEOUT", 1500))
-        banded = _subprocess_throughput("banded", budget)
-        print(f"bench[auto]: brick {scans_per_sec:.3f} vs banded "
-              f"{banded if banded is None else round(banded, 3)} scans/s",
+        brick = _subprocess_throughput("brick", budget)
+        print(f"bench[auto]: banded {scans_per_sec:.3f} vs brick "
+              f"{brick if brick is None else round(brick, 3)} scans/s",
               file=sys.stderr)
-        if banded is not None and banded > scans_per_sec:
-            engine, scans_per_sec = "banded", banded
+        if brick is not None and brick > scans_per_sec:
+            engine, scans_per_sec = "brick", brick
 
     # --- AL pool-scoring pass (BASELINE.md: first-class metric) -----------
     # production pool: ~28k unlabeled frames; the selection step is the

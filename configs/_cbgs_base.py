@@ -64,9 +64,10 @@ model = dict(
     backbone=dict(
         type="FPNSpMiddleResNetFHD", num_input_features=5, ds_factor=8,
         voxel_caps=(60000, 60000, 30000, 30000),
-        # brick engine (ops/sparse_brick.py): W-run packed gather-GEMM, tuned
-        # on-chip via tools/microbench.py + tools/profile_brick_ops.py
-        impl="brick", dtype="bfloat16",
+        # banded MXU engine (ops/banded.py): one-hot slab gathers on the MXU
+        # over the brick layout; measured 16.5 vs brick 9.9 scans/s/chip at
+        # production scale (round-3 A/B, host plans fed on both engines)
+        impl="banded", dtype="bfloat16",
         brick_widths=(16, 16, 8, 4, 4),
         brick_caps=(48000, 17000, 10000, 6000, 6000),
     ),
