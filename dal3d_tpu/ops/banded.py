@@ -422,11 +422,15 @@ def _banded_dw_pallas(table, idx_k, starts, g, groups, bands, bm):
     starts_q = jnp.minimum(starts[:, g_of_q], Mb - band) & ~15  # [B, Q, nb]
 
     def one_batch(table_b, idx_b, starts_b, g_b):
+        # idx ships as [Q, 1, M] so the per-tap block (1, 1, bm) is a legal
+        # TPU block shape (second-to-last block dim == array dim 1; a
+        # [1, Q, M] layout with block (1, 1, bm) fails Mosaic's
+        # divisible-by-8-or-full constraint for any Q > 1)
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(Q, nb),
             in_specs=[
-                pl.BlockSpec((1, 1, bm), lambda q, i, s: (0, q, i)),
+                pl.BlockSpec((1, 1, bm), lambda q, i, s: (q, 0, i)),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, bm, Rout), lambda q, i, s: (0, i, 0)),
             ],

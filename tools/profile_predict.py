@@ -73,6 +73,12 @@ def main():
                               voxels=vtuple)
             if stage == "model":  # backbone + RPN + head convs
                 return out["preds"][0]["box_preds"]
+            if stage == "decode":  # + decode + score topk, no IoU/NMS
+                import dataclasses
+                cfg1 = dataclasses.replace(bundle.test_cfg, nms_pre_max_size=1)
+                dets = multi_group_predict(out["preds"], bundle.task_anchors,
+                                           bundle.box_coder, cfg1)
+                return dets["scores"]
             dets = multi_group_predict(out["preds"], bundle.task_anchors,
                                        bundle.box_coder, bundle.test_cfg)
             if stage == "full":
@@ -83,7 +89,10 @@ def main():
     a = (state.params, state.batch_stats, batch["voxel_features"],
          batch["voxel_coords"], batch["voxel_valid"])
     prev = 0.0
-    for stage in ("model", "full"):
+    # "decode" = model + per-task decode/sigmoid/threshold with a k=1 top-k
+    # (isolates the 1000-candidate top-k + IoU matrix + greedy NMS into the
+    # model->full delta minus the decode delta)
+    for stage in ("model", "decode", "full"):
         f = upto(stage)
         out = f(*a)
         float(jnp.asarray(out, jnp.float32).sum())
