@@ -446,7 +446,7 @@ def _banded_dw_pallas(table, idx_k, starts, g, groups, bands, bm):
             grid_spec=gs,
             out_shape=jax.ShapeDtypeStruct((Q, R, Rout), jnp.float32),
             interpret=_interpret(),
-        )(starts_b[None], idx_b[None], table_b[None], g_b[None])
+        )(starts_b[None], idx_b[:, None], table_b[None], g_b[None])
 
     dw = jax.vmap(one_batch)(table, idx_k, starts_q, g)  # [B, Q, R, Rout]
     return dw.sum(0)
