@@ -73,6 +73,88 @@ def kitti_style_eval(dataset, detections: Dict[str, dict]) -> Dict[str, float]:
     return kitti_eval(gt_frames, pred_frames, classes)["results"]
 
 
+def run_eval_cli(args) -> Dict:
+    """Shared body of tools/test.py and tools/dist_test.py.
+
+    The reference keeps two drivers (tools/test.py single-process vs
+    tools/dist_test.py DDP, dist_test.py:61-186); JAX's single-program model
+    collapses them — the mesh-sharded predict already shards frames over all
+    local devices — so both CLIs delegate here. `args` needs: config,
+    checkpoint, torch_init (optional), out, work_dir, batch_size, testset.
+    """
+    import os
+    import pickle
+
+    import jax
+    import jax.random as jrandom
+
+    from ..data import DataLoader, NuScenesDataset
+    from ..models.builder import (build_detector, eval_test_cfg,
+                                  host_voxelize_cfg)
+    from ..parallel.mesh import sharded_eval_predict
+    from ..solver.optim import OneCycleSchedule, build_optimizer
+    from ..utils import Config, get_root_logger
+    from . import checkpoint as ckpt
+    from .steps import create_train_state
+
+    cfg = Config.fromfile(args.config)
+    work_dir = args.work_dir or cfg.work_dir
+    os.makedirs(work_dir, exist_ok=True)
+    logger = get_root_logger(os.path.join(work_dir, "test.log"))
+
+    bundle = build_detector(cfg, test_cfg=eval_test_cfg(cfg, logger))
+    val = dict(cfg.data["val"])
+    dataset = NuScenesDataset(
+        info_path=val["info_path"],
+        root_path=val.get("root_path", ""),
+        nsweeps=val.get("nsweeps", 10),
+        class_names=val.get("class_names"),
+        pipeline=[dict(s) for s in val.get("pipeline", [])],
+        tasks=[dict(t) for t in cfg.tasks],
+        max_points=cfg.get("max_points", 300000),
+        voxelize_host=host_voxelize_cfg(cfg),
+        test_mode=True,
+    )
+    batch_size = args.batch_size or cfg.data.get("samples_per_gpu", 2) * jax.device_count()
+    loader = DataLoader(dataset, batch_size, shuffle=False, drop_last=False)
+
+    optimizer = build_optimizer(OneCycleSchedule(total_steps=1))
+    sample = next(iter(DataLoader(dataset, batch_size, shuffle=False)))
+    state = create_train_state(bundle, optimizer, jrandom.PRNGKey(0), sample)
+    if getattr(args, "torch_init", None):
+        from ..models.convert_second import apply_torch_init
+
+        impl = cfg["model"]["backbone"].get("impl", "gather")
+        state = apply_torch_init(state, args.torch_init, impl, logger=logger)
+        logger.info(f"initialized from converted torch checkpoint {args.torch_init}")
+    elif args.checkpoint:
+        state, meta = ckpt.load_checkpoint(args.checkpoint, state)
+        logger.info(f"loaded checkpoint epoch {meta.get('epoch')}")
+    else:
+        raise SystemExit("one of --checkpoint / --torch_init is required")
+
+    predict, mesh = sharded_eval_predict(bundle, logger)
+    detections = predict_dataset(
+        predict, state.params, state.batch_stats, loader, logger=logger,
+        log_every=max(len(dataset) // 10, 1),
+    )
+    if args.out:
+        with open(args.out, "wb") as f:
+            pickle.dump(detections, f)
+        logger.info(f"raw detections -> {args.out}")
+
+    result = dataset.evaluation(detections, output_dir=work_dir, testset=args.testset)
+    if not args.testset:
+        ap = kitti_style_eval(dataset, detections)
+        if ap:
+            result = dict(result or {})
+            result["kitti_style"] = {
+                k: round(float(v), 4) for k, v in ap.items() if k.startswith("mAP")
+            }
+    logger.info(f"evaluation: {result}")
+    return result
+
+
 def evaluate_dataset(
     predict: Callable,
     params,

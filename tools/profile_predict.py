@@ -73,7 +73,11 @@ def main():
                               voxels=vtuple)
             if stage == "model":  # backbone + RPN + head convs
                 return out["preds"][0]["box_preds"]
-            if stage == "decode":  # + decode + score topk, no IoU/NMS
+            if stage == "decode":
+                # + decode + score topk; nms_pre_max_size=1 still executes a
+                # k=1 NMS pass (1x1 IoU matrix + greedy loop per task), so
+                # the model->decode delta includes that fixed overhead and
+                # the attributed full-NMS cost is slightly understated
                 import dataclasses
                 cfg1 = dataclasses.replace(bundle.test_cfg, nms_pre_max_size=1)
                 dets = multi_group_predict(out["preds"], bundle.task_anchors,
