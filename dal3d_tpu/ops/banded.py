@@ -402,10 +402,19 @@ def _banded_fwd_pallas(table, idx_k, starts, wband, groups, bands, bm,
             pltpu.SemaphoreType.DMA((2, G)),
         ],
     )
+    # scoped-VMEM budget: resident weights (Q*R*Rout) + the double-buffered
+    # band slabs (2*sum_bands*R) exceed the 16 MB default on the widest
+    # downsample (ds1 train: 8.85 + 9.44 MB); v5e has 128 MB VMEM, so lift
+    # the per-kernel cap to what this call actually needs plus margin
+    itemsize = jnp.dtype(table.dtype).itemsize
+    need = (Q * R * Rout + 2 * sum_bands * R) * itemsize \
+        + bm * (Q + Rout * 4 + R * itemsize) + (1 << 21)
     return pl.pallas_call(
         _fwd_kernel(Q, groups, bands, R, Rout, bm, table.dtype, self_tap),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((B, M, Rout), table.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(need, 16 * 1024 * 1024)),
         interpret=_interpret(),
     )(starts, idx_k, table, wband)
 
