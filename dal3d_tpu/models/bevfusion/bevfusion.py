@@ -17,6 +17,7 @@ from flax import linen as nn
 
 from ...ops import sparse_backend as sp
 from ...ops.voxelize import VoxelConfig, voxelize_mean_grid
+from ...parallel.mesh import bev_constraint
 from ..registry import DETECTORS
 from .lss_fpn import GeneralizedLSSFPN
 from .second import SECOND, SECONDFPN, ConvFuser
@@ -122,9 +123,15 @@ class BEVFusion(nn.Module):
                              "(with_lidar and/or with_camera + images)")
 
         fused = ConvFuser(out_channels=256)(feats, train) if len(feats) > 1 else feats[0]
+        # partition the dense BEV pipeline over the ambient mesh (batch on
+        # 'data', H rows on 'model'; XLA SPMD inserts the conv halo
+        # exchanges) — the fusion counterpart of the CBGS track's sharded
+        # RPN (necks/rpn.py); no-op without an ambient mesh
+        fused = bev_constraint(fused)
         stages = SECOND(out_channels=self.decoder_channels,
                         layer_nums=self.decoder_layer_nums)(fused, train)
-        bev = SECONDFPN(out_channels=self.neck_out_channels)(stages, train)
+        bev = bev_constraint(
+            SECONDFPN(out_channels=self.neck_out_channels)(stages, train))
         if self.head == "centerpoint":
             from .centerpoint import CenterHead
 
@@ -143,4 +150,6 @@ class BEVFusion(nn.Module):
             from .segm import BEVSegmentationHead
 
             preds["seg_logits"] = BEVSegmentationHead(classes=self.seg_classes)(bev, train)
+        # shared neck BEV map (sharding probes + feature-based AL selectors)
+        preds["bev_feat"] = bev
         return preds
