@@ -28,87 +28,12 @@ from dal3d_tpu.models.convert_second import (  # noqa: E402
     convert_second_state_dict,
     flatten_tree,
 )
-from dal3d_tpu.ops.voxelize import VoxelConfig  # noqa: E402
 
-# grid 16x16x40 -> sparse shape (41, 16, 16); depth chain 41-21-11-5-2
-VCFG = VoxelConfig(
-    point_cloud_range=(-8.0, -8.0, -3.0, 8.0, 8.0, 1.0),
-    voxel_size=(1.0, 1.0, 0.1),
-    max_points_in_voxel=5,
-    max_voxel_num=41 * 16 * 16,
+from oracle_utils import (  # noqa: E402
+    CODE_SIZE, DS_FILTERS, DS_STRIDES, LAYER_NUMS, NUM_CLASSES, US_FILTERS,
+    US_STRIDES, VCFG, dense_voxels as _dense_voxels,
+    rnd_state_dict as _rnd_state_dict,
 )
-NUM_CLASSES = (1, 2)
-LAYER_NUMS, DS_STRIDES = (5, 5), (1, 2)
-DS_FILTERS, US_STRIDES, US_FILTERS = (32, 64), (1, 2), (64, 64)
-CODE_SIZE = 10
-
-
-def _rnd_state_dict(rng):
-    """Random det3d-named CBGS VoxelNet state_dict (numpy)."""
-    sd = {}
-
-    def conv3d(name, k, ci, co, bias):
-        kd, kh, kw = k if isinstance(k, tuple) else (k, k, k)
-        sd[f"{name}.weight"] = rng.randn(kd, kh, kw, ci, co).astype(np.float32) * 0.15
-        if bias:
-            sd[f"{name}.bias"] = rng.randn(co).astype(np.float32) * 0.05
-
-    def bn(name, c):
-        sd[f"{name}.weight"] = (1 + 0.2 * rng.randn(c)).astype(np.float32)
-        sd[f"{name}.bias"] = (0.1 * rng.randn(c)).astype(np.float32)
-        sd[f"{name}.running_mean"] = (0.1 * rng.randn(c)).astype(np.float32)
-        sd[f"{name}.running_var"] = (1 + 0.1 * rng.rand(c)).astype(np.float32)
-
-    def block(name, c):
-        conv3d(f"{name}.conv1", 3, c, c, True)
-        bn(f"{name}.bn1", c)
-        conv3d(f"{name}.conv2", 3, c, c, True)
-        bn(f"{name}.bn2", c)
-
-    # backbone (FPN variant, scn.py:331-369)
-    conv3d("backbone.middle_conv0.0", 3, 5, 16, False)
-    bn("backbone.middle_conv0.1", 16)
-    block("backbone.middle_conv0.3", 16)
-    block("backbone.middle_conv0.4", 16)
-    conv3d("backbone.middle_conv0.5", 3, 16, 32, False)
-    bn("backbone.middle_conv0.6", 32)
-    for i, (ci, co) in enumerate([(32, 64), (64, 128), (128, 128)], start=1):
-        block(f"backbone.middle_conv{i}.0", ci)
-        block(f"backbone.middle_conv{i}.1", ci)
-        conv3d(f"backbone.middle_conv{i}.2", (3, 1, 1) if i == 3 else 3, ci, co, False)
-        bn(f"backbone.middle_conv{i}.3", co)
-
-    # RPN (rpn.py:67-141): blocks.{b}.(1,4,7,...) convs / (2,5,8,...) BNs
-    cin = 256
-    for b, (ln, planes) in enumerate(zip(LAYER_NUMS, DS_FILTERS)):
-        for j in range(ln + 1):
-            seq = 1 + 3 * j
-            ci = cin if j == 0 else planes
-            sd[f"neck.blocks.{b}.{seq}.weight"] = (
-                rng.randn(planes, ci, 3, 3).astype(np.float32) * 0.1)
-            bn(f"neck.blocks.{b}.{seq + 1}", planes)
-        cin = planes
-        us, uf = US_STRIDES[b], US_FILTERS[b]
-        if us > 1:  # ConvTranspose2d [Cin, Cout, k, k]
-            sd[f"neck.deblocks.{b}.0.weight"] = (
-                rng.randn(planes, uf, us, us).astype(np.float32) * 0.1)
-        else:  # Conv2d kernel=stride=1
-            sd[f"neck.deblocks.{b}.0.weight"] = (
-                rng.randn(uf, planes, 1, 1).astype(np.float32) * 0.1)
-        bn(f"neck.deblocks.{b}.1", uf)
-
-    # head (mg_head.py:199-226)
-    for t, nc in enumerate(NUM_CLASSES):
-        na = nc * 2
-        sd[f"bbox_head.tasks.{t}.conv_box.weight"] = (
-            rng.randn(na * CODE_SIZE, 128, 1, 1).astype(np.float32) * 0.1)
-        sd[f"bbox_head.tasks.{t}.conv_box.bias"] = (
-            rng.randn(na * CODE_SIZE).astype(np.float32) * 0.05)
-        sd[f"bbox_head.tasks.{t}.conv_cls.weight"] = (
-            rng.randn(na * nc, 128, 1, 1).astype(np.float32) * 0.1)
-        sd[f"bbox_head.tasks.{t}.conv_cls.bias"] = (
-            rng.randn(na * nc).astype(np.float32) * 0.05)
-    return sd
 
 
 def _t_bn(x, sd, p, eps=1e-3):
