@@ -150,6 +150,7 @@ def multi_group_predict(
     box_coder: GroundBox3dCoder,
     cfg: TestConfig = TestConfig(),
     iou_rescore_alpha: float = 0.0,
+    stop_before_nms: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Fixed-shape batched detection decoding (reference mg_head.py:697-1085,
     single-class-agnostic NMS branch used by the CBGS configs).
@@ -209,6 +210,11 @@ def multi_group_predict(
         if with_iou:
             cand_ious.append(jnp.take_along_axis(iou_dec, cidx, axis=1))
         label_offset += nc
+
+    if stop_before_nms:
+        # profiling hook: decode + threshold + candidate top-k only, no IoU
+        # matrix / greedy loop (tools/profile_predict.py's "decode" stage)
+        return {"cand_scores": jnp.stack(cand_scores)}
 
     # stage 2: ONE batched greedy NMS over all (task, batch) candidate sets —
     # 6 sequential per-task NMS programs would serialize the IoU matrices

@@ -74,15 +74,13 @@ def main():
             if stage == "model":  # backbone + RPN + head convs
                 return out["preds"][0]["box_preds"]
             if stage == "decode":
-                # + decode + score topk; nms_pre_max_size=1 still executes a
-                # k=1 NMS pass (1x1 IoU matrix + greedy loop per task), so
-                # the model->decode delta includes that fixed overhead and
-                # the attributed full-NMS cost is slightly understated
-                import dataclasses
-                cfg1 = dataclasses.replace(bundle.test_cfg, nms_pre_max_size=1)
+                # + decode + score-threshold + candidate top-k, stopping
+                # before the IoU matrix / greedy NMS (so the decode->full
+                # delta is exactly the NMS stage)
                 dets = multi_group_predict(out["preds"], bundle.task_anchors,
-                                           bundle.box_coder, cfg1)
-                return dets["scores"]
+                                           bundle.box_coder, bundle.test_cfg,
+                                           stop_before_nms=True)
+                return dets["cand_scores"]
             dets = multi_group_predict(out["preds"], bundle.task_anchors,
                                        bundle.box_coder, bundle.test_cfg)
             if stage == "full":
