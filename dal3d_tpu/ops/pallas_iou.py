@@ -146,7 +146,11 @@ def _iou_kernel(row_ref, col_ref, o_ref):
     t2 = _clip_dir(quad(0, crow), quad(4, crow), quad(8, crow), quad(12, crow),
                    quad(16, rcol), quad(20, rcol), quad(24, rcol))
     inter = 0.5 * jnp.abs(t1 + t2)
-    union = rcol(28) + crow(28) - inter
+    ai, aj = rcol(28), crow(28)
+    # physical bound: inter <= min(areas) — same fp blow-up guard as
+    # rotated_iou_fast.rotated_iou_matrix_greens (coincident-edge pairs)
+    inter = jnp.minimum(inter, jnp.minimum(ai, aj))
+    union = ai + aj - inter
     o_ref[0] = jnp.where(union > 0, inter / union, 0.0)
 
 

@@ -156,6 +156,10 @@ def rotated_iou_matrix_fast(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.nda
     inter = _pair_intersection_area(c1[:, None], c2[None, :])  # [N, M]
     area1 = jnp.abs(boxes1[:, 2] * boxes1[:, 3])
     area2 = jnp.abs(boxes2[:, 2] * boxes2[:, 3])
+    # physical bound: inter <= min(areas). Guards the fp blow-up where a
+    # degenerate (coincident-edge) pair over-counts inter, union -> ~0 and
+    # IoU explodes (measured up to 425 on exact-duplicate boxes on chip)
+    inter = jnp.minimum(inter, jnp.minimum(area1[:, None], area2[None, :]))
     union = area1[:, None] + area2[None, :] - inter
     return jnp.where(union > 0, inter / union, 0.0)
 
@@ -175,6 +179,8 @@ def boxes_iou3d_fast(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     inter = inter_bev * zov
     vol1 = jnp.abs(boxes1[:, 3] * boxes1[:, 4] * boxes1[:, 5])
     vol2 = jnp.abs(boxes2[:, 3] * boxes2[:, 4] * boxes2[:, 5])
+    # physical bound (see rotated_iou_matrix_fast)
+    inter = jnp.minimum(inter, jnp.minimum(vol1[:, None], vol2[None, :]))
     union = vol1[:, None] + vol2[None, :] - inter
     return jnp.where(union > 0, inter / union, 0.0)
 
@@ -283,5 +289,11 @@ def rotated_iou_matrix_greens(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.n
     )
     area1 = jnp.abs(boxes1[:, 2] * boxes1[:, 3])
     area2 = jnp.abs(boxes2[:, 2] * boxes2[:, 3])
+    # physical bound: inter <= min(areas). On exact-duplicate boxes the
+    # double-ring sum can count the full area TWICE when the boundary
+    # half-weighting misfires in f32 (|num| lands just above _EPS on a
+    # coincident edge) -> union ~ 0 and IoU up to ~425 (measured on chip).
+    # The clamp also floors union at max(area1, area2) > 0.
+    inter = jnp.minimum(inter, jnp.minimum(area1[:, None], area2[None, :]))
     union = area1[:, None] + area2[None, :] - inter
     return jnp.where(union > 0, inter / union, 0.0)

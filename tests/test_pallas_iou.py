@@ -90,6 +90,31 @@ def test_pallas_iou_identical_and_disjoint():
     assert got[0, 2] < 1e-6
 
 
+def test_duplicate_far_boxes_bounded():
+    """Regression: exact-duplicate boxes at far centers blew up the XLA
+    Green's path to IoU ~425 in f32 (double-ring over-count when the
+    boundary half-weighting misses |num| <= eps on a coincident edge ->
+    union ~ 0). The inter <= min(areas) clamp bounds every entry; both
+    paths must return self-IoU 1 on the diagonal."""
+    rng = np.random.RandomState(7)
+    n = 96
+    b = np.zeros((n, 5), np.float32)
+    b[:, 0:2] = rng.uniform(-50, 50, (n, 2))
+    b[:, 2:4] = rng.uniform(0.3, 8.0, (n, 2))
+    b[:, 4] = rng.uniform(-np.pi, np.pi, n)
+    b[n // 2:] = b[: n - n // 2]  # exact duplicates
+    boxes = jnp.asarray(b)
+    for name, got in (
+        ("xla", np.asarray(rotated_iou_matrix_greens(boxes, boxes))),
+        ("pallas", np.asarray(_interp(rotated_iou_matrix_greens_pallas,
+                                      boxes[None], boxes[None]))[0]),
+    ):
+        assert got.min() >= 0.0 and got.max() <= 1.0 + 1e-4, (
+            name, got.min(), got.max())
+        np.testing.assert_allclose(np.diag(got), 1.0, atol=1e-3,
+                                   err_msg=name)
+
+
 def test_batched_dispatcher_default_is_xla():
     """With DAL3D_IOU unset the dispatcher must take the XLA path (the Pallas
     Mosaic lowering is opt-in until chip-validated)."""
