@@ -117,10 +117,18 @@ def measure_throughput(impl: str | None):
     # 3-deep pipeline or a consumer fetch thread (the fetch RPC blocks the
     # relay stream). That cost is a tunnel artifact, not device time: a
     # production host fetches over local PCIe. Dispatch itself is 1 ms/call.
+    # A structural data dependency chains the iterations: each dispatch
+    # perturbs the next one's features by a ~1e-30 epsilon derived from the
+    # previous output, so fetching only the final result proves every
+    # iteration executed on ANY runtime (not just in-order single-stream
+    # ones). The [B, M, 5] add is ~2 MB of HBM traffic, noise vs the ~100 ms
+    # predict.
     n_iter = 12
+    feats0 = pb["voxel_features"]
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = predict(state.params, state.batch_stats, pb)
+        pb = dict(pb, voxel_features=feats0 + out["scores"][0, 0] * 1e-30)
     float(out["scores"].sum())
     dt = (time.perf_counter() - t0) / n_iter
     return B / dt
@@ -147,7 +155,7 @@ def measure_pool_scoring(impl: str | None):
 
     from dal3d_tpu.data import DataLoader, NuScenesDataset
     from dal3d_tpu.data.datasets.synthetic import make_synthetic_nuscenes
-    from dal3d_tpu.models.builder import build_detector, host_voxelize_cfg
+    from dal3d_tpu.models.builder import build_detector, loader_voxelize_cfg
     from dal3d_tpu.runtime.steps import create_train_state, make_predict_step
     from dal3d_tpu.selectors.base_selector import BaseSelector
     from dal3d_tpu.solver.optim import OneCycleSchedule, build_optimizer
@@ -190,6 +198,8 @@ def measure_pool_scoring(impl: str | None):
     with open(pool_path, "wb") as f:
         pickle.dump(pool_infos, f)
 
+    vh = loader_voxelize_cfg(cfg)
+    plan_mode = "host" if "brick" in (vh or {}) else "device"
     val = dict(cfg.data["val"])
     dataset = NuScenesDataset(
         info_path=pool_path,
@@ -199,7 +209,7 @@ def measure_pool_scoring(impl: str | None):
         pipeline=[dict(s) for s in val.get("pipeline", [])],
         tasks=[dict(t) for t in cfg.tasks],
         max_points=cfg.get("max_points", 300000),
-        voxelize_host=host_voxelize_cfg(cfg),
+        voxelize_host=vh,
         test_mode=True,
     )
     B = int(os.environ.get("BENCH_B", 2))
@@ -233,15 +243,57 @@ def measure_pool_scoring(impl: str | None):
     wall = time.perf_counter() - t0
     assert scores["embedding"].shape[0] == n_frames
     return {"measured_frames": n_frames, "unique_frames": n_unique,
-            "loader_workers": workers, "wall_s": round(wall, 2),
+            "loader_workers": workers, "plan_mode": plan_mode,
+            "wall_s": round(wall, 2),
             "scans_per_sec": round(n_frames / wall, 3)}
 
 
-def _run_inner(mode: str, impl: str | None, timeout_s: float):
+def measure_bevfusion():
+    """BEVFusion camera+lidar predict throughput at production shapes
+    (reference FPS harness bevfusion/tools/benchmark.py:58-84): 6 cams
+    256x704 Swin-T + DepthLSS/bev_pool + SparseEncoder(120k voxels, 0.075 m)
+    + ConvFuser + SECOND/FPN + TransFusion-200. Synthetic batch; chained
+    dispatches like measure_throughput. BENCH_BF_CAMERA=0 measures the
+    lidar-only stage-1 model instead."""
+    jax = setup_jax()
+    import jax.numpy as jnp
+
+    from dal3d_tpu.models.bevfusion.transfusion import transfusion_decode
+    from tools.profile_bevfusion import build_fusion
+
+    with_camera = os.environ.get("BENCH_BF_CAMERA", "1") == "1"
+    B = int(os.environ.get("BENCH_BF_B", 1))
+    model, test_cfg, batch = build_fusion(jax, with_camera, B)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.PRNGKey(0), batch, False)
+    params, bstats = variables["params"], variables.get("batch_stats", {})
+
+    @jax.jit
+    def predict(params, bstats, batch):
+        preds = model.apply({"params": params, "batch_stats": bstats}, batch, False)
+        return transfusion_decode(preds, test_cfg)
+
+    out = predict(params, bstats, batch)
+    float(out["scores"].sum())
+    n_iter = 8
+    pts0 = batch["points"]
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = predict(params, bstats, batch)
+        batch = dict(batch, points=pts0 + out["scores"][0, 0] * 1e-30)
+    float(out["scores"].sum())
+    dt = (time.perf_counter() - t0) / n_iter
+    return {"scans_per_sec": round(B / dt, 3),
+            "mode": "camera+lidar" if with_camera else "lidar-only",
+            "batch": B}
+
+
+def _run_inner(mode: str, impl: str | None, timeout_s: float,
+               extra_env: dict | None = None):
     """Run one measurement in an isolated subprocess (hang/crash-proof).
 
     Returns the parsed json dict or None on any failure."""
-    env = dict(os.environ, BENCH_INNER=mode)
+    env = dict(os.environ, BENCH_INNER=mode, **(extra_env or {}))
     if impl:
         env["BENCH_IMPL"] = impl
     try:
@@ -307,6 +359,10 @@ def main():
         print(json.dumps({"metric": "inner_pool_scoring",
                           "impl": impl or "config-default", **res}))
         return
+    if inner == "bevfusion":
+        res = measure_bevfusion()
+        print(json.dumps({"metric": "inner_bevfusion", **res}))
+        return
     if inner:
         sps = measure_throughput(impl)
         print(json.dumps({"metric": "inner_throughput", "value": round(sps, 3),
@@ -341,8 +397,24 @@ def main():
     # predict, on a synthetic production-scale pool; scoring_s scales the
     # measured per-frame cost to the production pool size (measured_frames
     # records how many frames actually ran).
-    pool = _run_inner("pool", None if engine == "banded" and impl is None else engine,
-                      float(os.environ.get("BENCH_POOL_TIMEOUT", 2400)))
+    pool_impl = None if engine == "banded" and impl is None else engine
+    pool_budget = float(os.environ.get("BENCH_POOL_TIMEOUT", 2400))
+    # A/B host-vs-device sparse plans on the scoring path (round-4 verdict:
+    # host plans strangle the loader on core-starved hosts) and ship the
+    # winner; PLAN_HOST=0|1 in the environment pins one mode and skips the A/B
+    if os.environ.get("PLAN_HOST") in ("0", "1"):
+        pool = _run_inner("pool", pool_impl, pool_budget)
+        pool_ab = None
+    else:
+        pool_dev = _run_inner("pool", pool_impl, pool_budget,
+                              extra_env={"PLAN_HOST": "0"})
+        pool_host = _run_inner("pool", pool_impl, pool_budget,
+                               extra_env={"PLAN_HOST": "1"})
+        rate = lambda p: float(p["scans_per_sec"]) if p else -1.0
+        pool = pool_dev if rate(pool_dev) >= rate(pool_host) else pool_host
+        pool_ab = {"device_plans": rate(pool_dev), "host_plans": rate(pool_host)}
+        print(f"bench[pool A/B]: device plans {rate(pool_dev)} vs host plans "
+              f"{rate(pool_host)} scans/s", file=sys.stderr)
 
     jax = setup_jax()
     import jax.numpy as jnp
@@ -383,8 +455,11 @@ def main():
             "measured_wall_s": pool["wall_s"],
             "measured_scans_per_sec": pool_rate,
             "loader_workers": pool.get("loader_workers"),
+            "plan_mode": pool.get("plan_mode"),
             "scoring_s": round(scoring_s, 1),
         })
+        if pool_ab is not None:
+            pool_block["plan_ab_scans_per_sec"] = pool_ab
     else:
         # subprocess failed: fall back to the model-throughput extrapolation,
         # explicitly labeled (it omits loader overlap + estimate-mode extras)
@@ -397,14 +472,26 @@ def main():
     pool_block["total_s"] = round(pool_total_s, 1)
     pool_block["vs_baseline"] = round((N_POOL / 20.0) / pool_total_s, 3)
 
-    print(json.dumps({
+    # --- BEVFusion block (round-4 verdict #5: first fusion chip number) ---
+    # reference FPS ~4-9 img/s on desktop GPUs for camera+lidar BEVFusion
+    # (bevfusion/tools/benchmark.py users report ~8 on A100-class); recorded
+    # raw without a vs_baseline until the reference number is pinned.
+    bf = None
+    if os.environ.get("BENCH_BEVFUSION", "1") != "0":
+        bf = _run_inner("bevfusion", None,
+                        float(os.environ.get("BENCH_BF_TIMEOUT", 2400)))
+
+    result = {
         "metric": "cbgs_voxelnet_inference_throughput",
         "value": round(scans_per_sec, 3),
         "unit": "scans/sec/chip",
         "vs_baseline": round(scans_per_sec / 20.0, 3),
         "engine": engine,
         "pool_scoring": pool_block,
-    }))
+    }
+    if bf is not None and "scans_per_sec" in bf:
+        result["bevfusion"] = {k: bf[k] for k in ("scans_per_sec", "mode", "batch")}
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -63,7 +63,14 @@ class BEVFusion(nn.Module):
     center_task_classes: Tuple[int, ...] = (1, 2, 2, 1, 2, 2)
 
     @nn.compact
-    def __call__(self, batch, train: bool = False):
+    def __call__(self, batch, train: bool = False, stop_at: str = ""):
+        """stop_at cuts the forward early for cumulative stage profiling
+        (tools/profile_bevfusion.py): "lidar" -> lidar BEV, "camera" ->
+        + camera BEV, "fused" -> + ConvFuser, "decoder" -> + SECOND/FPN;
+        "" runs the full head. Each cut returns {stop_at: tensor} — the cut
+        tensors are live outputs, so nothing upstream is dead-code
+        eliminated (tests/test_bevfusion.py pins the cut pytrees against
+        the full forward's intermediates)."""
         feats = []
         lidar_bev = None
 
@@ -78,6 +85,8 @@ class BEVFusion(nn.Module):
                 encoder_channels=self.encoder_channels, voxel_caps=self.voxel_caps
             )(sb, train)  # [B, H/8, W/8, 256]
             feats.append(lidar_bev)
+        if stop_at == "lidar":
+            return {"lidar": lidar_bev}
 
         # ---- camera branch ----
         if self.with_camera and "images" in batch:
@@ -118,11 +127,15 @@ class BEVFusion(nn.Module):
                     method="bilinear",
                 )
             feats.insert(0, cam_bev)
+        if stop_at == "camera":
+            return {"camera": feats[0], "lidar": lidar_bev}
         if not feats:
             raise ValueError("BEVFusion needs at least one enabled branch "
                              "(with_lidar and/or with_camera + images)")
 
         fused = ConvFuser(out_channels=256)(feats, train) if len(feats) > 1 else feats[0]
+        if stop_at == "fused":
+            return {"fused": fused}
         # partition the dense BEV pipeline over the ambient mesh (batch on
         # 'data', H rows on 'model'; XLA SPMD inserts the conv halo
         # exchanges) — the fusion counterpart of the CBGS track's sharded
@@ -132,6 +145,8 @@ class BEVFusion(nn.Module):
                         layer_nums=self.decoder_layer_nums)(fused, train)
         bev = bev_constraint(
             SECONDFPN(out_channels=self.neck_out_channels)(stages, train))
+        if stop_at == "decoder":
+            return {"decoder": bev}
         if self.head == "centerpoint":
             from .centerpoint import CenterHead
 

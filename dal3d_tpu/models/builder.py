@@ -78,9 +78,17 @@ def build_detector(cfg, train_cfg=None, test_cfg=None) -> DetectorBundle:
     loss_cls = head_cfg.get("loss_cls", {})
     loss_bbox = head_cfg.get("loss_bbox", {})
     loss_norm = head_cfg.get("loss_norm", {})
+    # reference LossNormType names (mg_head.py:535-578) -> losses.py ids
+    norm_map = {
+        "NormByNumPositives": "norm_by_num_positives",
+        "NormByNumExamples": "norm_by_num_examples",
+        "NormByNumPosNeg": "norm_by_num_pos_neg",
+        "DontNorm": "dont_norm",
+    }
     loss_cfg = LossConfig(
         pos_cls_weight=float(loss_norm.get("pos_cls_weight", 1.0)),
         neg_cls_weight=float(loss_norm.get("neg_cls_weight", 1.0)),
+        loss_norm_type=norm_map[loss_norm.get("type", "NormByNumPositives")],
         focal_gamma=float(loss_cls.get("gamma", 2.0)),
         focal_alpha=float(loss_cls.get("alpha", 0.25)),
         cls_loss_weight=float(loss_cls.get("loss_weight", 1.0)),
@@ -163,6 +171,37 @@ def host_voxelize_cfg(cfg):
         knobs = l0_brick_knobs(b, W)  # single source with the backbone
         if knobs:
             vh["brick"] = knobs
+    return vh
+
+
+def loader_voxelize_cfg(cfg):
+    """voxelize_host for loader-fed passes (pool scoring, eval, training).
+
+    Host sparse plans trade ~147 ms/frame of host CPU (data/sparse_plans.py,
+    measured round 4) for ~13 ms/frame of device time (20.6 vs 16.25 scans/s
+    predict) — they only WIN when the loader has cores to amortize the build
+    across prefetch threads. On a core-starved host they strangle the loader
+    instead: measured 1.27 scans/s sustained pool scoring on the 1-core
+    build box vs ~16 scans/s with device-side plans. PLAN_HOST=1/0 forces
+    host/device plans; the default (auto) ships host plans only when the
+    process has >= 4 usable cores."""
+    import os
+
+    vh = host_voxelize_cfg(cfg)
+    if vh is None or "brick" not in vh:
+        return vh
+    mode = os.environ.get("PLAN_HOST", "auto")
+    if mode == "1":
+        return vh
+    if mode not in ("0", "device"):
+        try:
+            cores = len(os.sched_getaffinity(0))
+        except AttributeError:  # pragma: no cover - non-linux
+            cores = os.cpu_count() or 1
+        if cores >= 4:
+            return vh
+    vh = dict(vh)
+    del vh["brick"]
     return vh
 
 

@@ -73,6 +73,9 @@ class MultiGroupHead(nn.Module):
 class LossConfig:
     pos_cls_weight: float = 1.0
     neg_cls_weight: float = 2.0
+    # reference LossNormType matrix (mg_head.py:535-578): norm_by_num_positives
+    # | norm_by_num_examples | norm_by_num_pos_neg | dont_norm
+    loss_norm_type: str = "norm_by_num_positives"
     focal_gamma: float = 2.0
     focal_alpha: float = 0.25
     cls_loss_weight: float = 1.0
@@ -102,7 +105,7 @@ def multi_group_loss(
         lab = labels[t]
 
         cls_weights, reg_weights, cared = prepare_loss_weights(
-            lab, cfg.pos_cls_weight, cfg.neg_cls_weight
+            lab, cfg.pos_cls_weight, cfg.neg_cls_weight, cfg.loss_norm_type
         )
         cls_targets = (lab * cared).astype(jnp.int32)
         one_hot = jax.nn.one_hot(cls_targets, nc + 1, dtype=box_preds.dtype)[..., 1:]
@@ -184,7 +187,6 @@ def multi_group_predict(
         cls_preds = pred["cls_preds"].reshape(B, -1, nc)
         anchors = jnp.asarray(ta.anchors)  # [A, 9]
 
-        decoded = box_coder.decode_jax(box_preds, anchors[None])  # [B, A, 9]
         scores = jax.nn.sigmoid(cls_preds)
         top_scores = scores.max(axis=-1) if nc > 1 else scores[..., 0]
         top_labels = scores.argmax(axis=-1) if nc > 1 else jnp.zeros(scores.shape[:2], jnp.int32)
@@ -204,7 +206,13 @@ def multi_group_predict(
             csc, cidx = jax.lax.approx_max_k(masked, pre)  # [B, pre]
         else:
             csc, cidx = jax.lax.top_k(masked, pre)  # [B, pre]
-        cand_boxes.append(jnp.take_along_axis(decoded, cidx[..., None], axis=1))
+        # decode only the selected candidates (anchor grid is ~196k rows;
+        # decoding all of them before the gather costs ~200x the work of
+        # decoding the [B, pre] winners — measured 13.6 ms of the 97 ms
+        # predict before this reordering)
+        cand_bp = jnp.take_along_axis(box_preds, cidx[..., None], axis=1)
+        cand_anchors = anchors[cidx]  # [B, pre, 9]
+        cand_boxes.append(box_coder.decode_jax(cand_bp, cand_anchors))
         cand_scores.append(csc)
         cand_labels.append(jnp.take_along_axis(top_labels, cidx, axis=1) + label_offset)
         if with_iou:
@@ -213,8 +221,18 @@ def multi_group_predict(
 
     if stop_before_nms:
         # profiling hook: decode + threshold + candidate top-k only, no IoU
-        # matrix / greedy loop (tools/profile_predict.py's "decode" stage)
-        return {"cand_scores": jnp.stack(cand_scores)}
+        # matrix / greedy loop (tools/profile_predict.py's "decode" stage).
+        # All stage-1 arrays are returned so the box decode + gathers are
+        # live outputs — returning scores alone lets XLA dead-code-eliminate
+        # the decode, overstating the NMS delta.
+        out = {
+            "cand_boxes": jnp.stack(cand_boxes),
+            "cand_scores": jnp.stack(cand_scores),
+            "cand_labels": jnp.stack(cand_labels),
+        }
+        if with_iou:
+            out["cand_ious"] = jnp.stack(cand_ious)
+        return out
 
     # stage 2: ONE batched greedy NMS over all (task, batch) candidate sets —
     # 6 sequential per-task NMS programs would serialize the IoU matrices

@@ -161,7 +161,7 @@ def multi_group_loss_with_iou(
             jax.vmap(per_sample)(decoded, gt_boxes_by_task[t], gvalid)
         )
         cls_weights, reg_weights, _ = prepare_loss_weights(
-            labels[t], cfg.pos_cls_weight, cfg.neg_cls_weight
+            labels[t], cfg.pos_cls_weight, cfg.neg_cls_weight, cfg.loss_norm_type
         )
         if iou_loss_type == "smooth_l1":
             tgt = (target_iou - iou_norm["mean"]) / iou_norm["std"]

@@ -60,18 +60,44 @@ def prepare_loss_weights(
     labels: jnp.ndarray,  # [B, A] int
     pos_cls_weight: float = 1.0,
     neg_cls_weight: float = 2.0,
+    norm_type: str = "norm_by_num_positives",
 ):
-    """NormByNumPositives (reference mg_head.py:535-578)."""
+    """Per-sample cls/reg weight normalization — the reference's full
+    LossNormType matrix (mg_head.py:535-578):
+
+    - norm_by_num_positives (the CBGS configs' choice): cls AND reg divided
+      by the positive count,
+    - norm_by_num_examples: cls by the cared (non-ignore) count, reg by the
+      positive count,
+    - norm_by_num_pos_neg: cls per-anchor by its own class's count (pos
+      anchors by num_pos, neg anchors by num_neg), reg by the positive count,
+    - dont_norm: reg by the positive count, cls unnormalized (ghm loss).
+    """
     positives = labels > 0
     negatives = labels == 0
     cls_weights = negatives.astype(jnp.float32) * neg_cls_weight + positives.astype(
         jnp.float32
     ) * pos_cls_weight
     reg_weights = positives.astype(jnp.float32)
-    pos_normalizer = jnp.maximum(positives.sum(axis=1, keepdims=True).astype(jnp.float32), 1.0)
-    reg_weights = reg_weights / pos_normalizer
-    cls_weights = cls_weights / pos_normalizer
     cared = labels >= 0
+    pos_normalizer = jnp.maximum(positives.sum(axis=1, keepdims=True).astype(jnp.float32), 1.0)
+    if norm_type == "norm_by_num_positives":
+        reg_weights = reg_weights / pos_normalizer
+        cls_weights = cls_weights / pos_normalizer
+    elif norm_type == "norm_by_num_examples":
+        num_examples = jnp.maximum(cared.sum(axis=1, keepdims=True).astype(jnp.float32), 1.0)
+        cls_weights = cls_weights / num_examples
+        reg_weights = reg_weights / pos_normalizer
+    elif norm_type == "norm_by_num_pos_neg":
+        pos_neg = jnp.stack([positives, negatives], axis=-1).astype(jnp.float32)  # [B, A, 2]
+        normalizer = pos_neg.sum(axis=1, keepdims=True)  # [B, 1, 2]
+        cls_normalizer = jnp.maximum((pos_neg * normalizer).sum(-1), 1.0)  # [B, A]
+        reg_weights = reg_weights / jnp.maximum(normalizer[:, :, 0], 1.0)
+        cls_weights = cls_weights / cls_normalizer
+    elif norm_type == "dont_norm":
+        reg_weights = reg_weights / pos_normalizer
+    else:
+        raise ValueError(f"unknown loss norm type {norm_type!r}")
     return cls_weights, reg_weights, cared
 
 

@@ -41,15 +41,20 @@ _REC = 32  # row-record lanes (29 used, padded to 32)
 
 
 def use_pallas() -> bool:
-    """DAL3D_IOU=pallas|interpret opts in; auto = Pallas on real TPU.
+    """DAL3D_IOU picks the IoU-matrix backend; default "auto" = Pallas on
+    real TPU, XLA elsewhere.
 
-    The shipped default is the XLA path ("xla") until the Mosaic lowering of
-    this kernel has been validated on the real chip (interpret mode proves
-    numerics, not lowering) — flip the default to "auto" after an on-chip
-    parity + timing run (tools/profile_predict.py)."""
+    Chip-validated 2026-08-20 (tools/chip_pallas_iou_check.py, v5e):
+    the Mosaic lowering compiles and runs [12,1000,1000] in 6.1 ms vs the
+    XLA Green's path's 19.7 ms, AND is the more accurate of the two on
+    TPU — vs the exact bitonic clipper the kernel's error is <=4e-4 while
+    the XLA path degrades on overlapping pairs (mean err 0.08, 11% NMS
+    decision flips at iou 0.2 among disagreeing pairs; TPU lowers parts of
+    the f32 clip chain at reduced precision, which the VMEM-resident kernel
+    does not). DAL3D_IOU=xla|pallas|interpret overrides."""
     import os
 
-    mode = os.environ.get("DAL3D_IOU", "xla")
+    mode = os.environ.get("DAL3D_IOU", "auto")
     if mode in ("pallas", "interpret"):
         return True
     if mode == "auto":

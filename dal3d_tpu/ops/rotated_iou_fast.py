@@ -259,8 +259,14 @@ def _matrix_contrib(cf: jnp.ndarray, n: jnp.ndarray, an: jnp.ndarray):
     _EPS = 1e-4
     p0 = cf
     d = jnp.roll(cf, -1, axis=-2) - p0
-    num = jnp.einsum("iex,jpx->iejp", p0, n) - an[None, None]  # [N,4e,M,4p]
-    den = jnp.einsum("iex,jpx->iejp", d, n)
+    # HIGHEST precision: TPU lowers these contractions onto the MXU at bf16
+    # by default, whose ~3-digit mantissa wrecks the _EPS=1e-4 boundary /
+    # parallel classification below (measured on chip: mean IoU err 0.08 on
+    # overlapping pairs, 11% NMS decision flips vs the exact clipper). The
+    # dots are [*,4,2]x[*,4,2] — f32 costs nothing here.
+    hp = jax.lax.Precision.HIGHEST
+    num = jnp.einsum("iex,jpx->iejp", p0, n, precision=hp) - an[None, None]  # [N,4e,M,4p]
+    den = jnp.einsum("iex,jpx->iejp", d, n, precision=hp)
     parallel = jnp.abs(den) < _EPS
     t_at = -num / jnp.where(parallel, 1.0, den)
     is_entry = den > 0

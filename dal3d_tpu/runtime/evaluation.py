@@ -90,7 +90,7 @@ def run_eval_cli(args) -> Dict:
 
     from ..data import DataLoader, NuScenesDataset
     from ..models.builder import (build_detector, eval_test_cfg,
-                                  host_voxelize_cfg)
+                                  loader_voxelize_cfg)
     from ..parallel.mesh import sharded_eval_predict
     from ..solver.optim import OneCycleSchedule, build_optimizer
     from ..utils import Config, get_root_logger
@@ -112,7 +112,7 @@ def run_eval_cli(args) -> Dict:
         pipeline=[dict(s) for s in val.get("pipeline", [])],
         tasks=[dict(t) for t in cfg.tasks],
         max_points=cfg.get("max_points", 300000),
-        voxelize_host=host_voxelize_cfg(cfg),
+        voxelize_host=loader_voxelize_cfg(cfg),
         test_mode=True,
     )
     batch_size = args.batch_size or cfg.data.get("samples_per_gpu", 2) * jax.device_count()

@@ -145,6 +145,21 @@ def test_bevfusion_camera_lidar_forward(lidar_batch):
     assert preds["cls_logits"].shape == (1, 8, 10)
     assert np.isfinite(np.asarray(preds["cls_logits"])).all()
 
+    # profiling cuts (tools/profile_bevfusion.py): each stop_at returns the
+    # stage tensor as a live output; "decoder" is bit-identical to the full
+    # forward's shared bev_feat, and the lidar cut matches between the
+    # "lidar" and "camera" stops (same sub-program prefix)
+    cut_l = model.apply(var, cam_batch, False, stop_at="lidar")
+    cut_c = model.apply(var, cam_batch, False, stop_at="camera")
+    cut_f = model.apply(var, cam_batch, False, stop_at="fused")
+    cut_d = model.apply(var, cam_batch, False, stop_at="decoder")
+    assert set(cut_l) == {"lidar"} and set(cut_c) == {"camera", "lidar"}
+    np.testing.assert_allclose(np.asarray(cut_c["lidar"]), np.asarray(cut_l["lidar"]))
+    assert cut_c["camera"].shape[:3] == cut_l["lidar"].shape[:3]
+    assert cut_f["fused"].shape[:3] == cut_l["lidar"].shape[:3]
+    np.testing.assert_allclose(
+        np.asarray(cut_d["decoder"]), np.asarray(preds["bev_feat"]), rtol=1e-6)
+
 
 @pytest.mark.slow
 def test_bevfusion_train_step(lidar_batch):

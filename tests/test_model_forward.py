@@ -122,6 +122,45 @@ def test_predict_shapes(setup):
     assert np.isfinite(np.asarray(dets["box3d_lidar"])).all()
 
 
+def test_predict_stop_before_nms_matches_stage1(setup):
+    """The profiling hook's truncated pytree must be the exact stage-1
+    candidate set the full predict feeds into NMS: every valid detection in
+    the full output appears verbatim (box, score, label) among its task's
+    candidates, and the candidate arrays are finite-where-scored."""
+    model, variables, pts, valid = setup
+    coder = GroundBox3dCoder(vec_encode=True, n_dim=9)
+    tas = generate_task_anchors(GENS, TASKS, [1, 8, 8])
+    out = model.apply(variables, jnp.asarray(pts), jnp.asarray(valid), False)
+    tcfg = TestConfig(nms_pre_max_size=64, nms_post_max_size=16, score_threshold=0.05,
+                      post_center_limit_range=(-10, -10, -5, 10, 10, 5))
+    cand = multi_group_predict(out["preds"], tas, coder, tcfg, stop_before_nms=True)
+    full = multi_group_predict(out["preds"], tas, coder, tcfg)
+
+    T, B, pre = len(out["preds"]), 2, tcfg.nms_pre_max_size
+    assert cand["cand_scores"].shape == (T, B, pre)
+    assert cand["cand_labels"].shape == (T, B, pre)
+    assert cand["cand_boxes"].shape == (T, B, pre, 9)
+    cs = np.asarray(cand["cand_scores"])
+    cb = np.asarray(cand["cand_boxes"])
+    cl = np.asarray(cand["cand_labels"])
+    assert np.isfinite(cb[np.isfinite(cs)]).all()
+
+    post = tcfg.nms_post_max_size
+    fb = np.asarray(full["box3d_lidar"]).reshape(B, T, post, 9)
+    fs = np.asarray(full["scores"]).reshape(B, T, post)
+    fl = np.asarray(full["label_preds"]).reshape(B, T, post)
+    fv = np.asarray(full["det_valid"]).reshape(B, T, post)
+    for b in range(B):
+        for t in range(T):
+            for k in np.nonzero(fv[b, t])[0]:
+                hits = np.nonzero(np.isclose(cs[t, b], fs[b, t, k]))[0]
+                assert hits.size, "detection score missing from candidates"
+                assert any(
+                    np.allclose(cb[t, b, h], fb[b, t, k]) and cl[t, b, h] == fl[b, t, k]
+                    for h in hits
+                )
+
+
 def test_predict_with_iou_branch(setup):
     """mg_iou_head predict semantics: decoded per-detection iou_preds ride
     along; iou_rescore_alpha>0 applies the score^(1-a)*iou^a rectifier

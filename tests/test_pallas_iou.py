@@ -115,10 +115,47 @@ def test_duplicate_far_boxes_bounded():
                                    err_msg=name)
 
 
+def test_coincident_edge_cases():
+    """Boxes sharing a coincident edge (abutting or partially overlapping
+    collinear edges) — the boundary half-weighting's hardest inputs (ADVICE
+    r4 #4). Both the XLA Green's path and the Pallas kernel (interpret) must
+    match the exact clipper on: axis-aligned abutting (IoU 0), collinear
+    shared edges with partial overlap, containment sharing an edge, and
+    45-degree-rotated abutting squares."""
+    c = float(np.cos(np.pi / 4))
+    cases = np.array(
+        [
+            [0.5, 0.5, 1, 1, 0],       # A of each pair
+            [1.5, 0.5, 1, 1, 0],       # abutting -> 0
+            [0.5, 0.5, 1, 1, 0],
+            [1.0, 0.5, 1, 1, 0],       # shared collinear edges -> 1/3
+            [1.0, 0.5, 2, 1, 0],
+            [0.5, 0.5, 1, 1, 0],       # contained, shares an edge -> 1/2
+            [0.0, 0.0, 1, 1, np.pi / 4],
+            [c, c, 1, 1, np.pi / 4],   # rotated abutting -> 0
+        ],
+        np.float32,
+    )
+    b1 = jnp.asarray(cases[0::2])
+    b2 = jnp.asarray(cases[1::2])
+    want = np.array([0.0, 1.0 / 3.0, 0.5, 0.0], np.float32)
+    exact = np.asarray(jax.vmap(
+        lambda a, b: rotated_iou_matrix_fast(a[None], b[None])[0, 0])(b1, b2))
+    np.testing.assert_allclose(exact, want, atol=1e-5)
+    greens = np.asarray(jax.vmap(
+        lambda a, b: rotated_iou_matrix_greens(a[None], b[None])[0, 0])(b1, b2))
+    np.testing.assert_allclose(greens, want, atol=1e-3)
+    pal = np.asarray(_interp(rotated_iou_matrix_greens_pallas,
+                             b1[:, None], b2[:, None]))[:, 0, 0]
+    np.testing.assert_allclose(pal, want, atol=1e-3)
+
+
 def test_batched_dispatcher_default_is_xla():
-    """With DAL3D_IOU unset the dispatcher must take the XLA path (the Pallas
-    Mosaic lowering is opt-in until chip-validated)."""
+    """With DAL3D_IOU unset the dispatcher defaults to "auto": Pallas on a
+    real TPU (chip-validated 2026-08-20 — faster AND more accurate there),
+    the XLA Green's path on CPU backends like this test run."""
     assert os.environ.get("DAL3D_IOU") is None
+    assert jax.default_backend() != "tpu"
     rng = np.random.RandomState(2)
     b = jnp.asarray(np.stack([_random_boxes(rng, 32) for _ in range(2)]))
     got = np.asarray(rotated_iou_matrix_batched(b, b))

@@ -84,7 +84,7 @@ def main():
         sel_cfg.get("pred_store_file") and os.path.exists(sel_cfg["pred_store_file"])
     ):
         from dal3d_tpu.data import DataLoader, NuScenesDataset
-        from dal3d_tpu.models.builder import build_detector, host_voxelize_cfg
+        from dal3d_tpu.models.builder import build_detector, loader_voxelize_cfg
         from dal3d_tpu.runtime import checkpoint as ckpt
         from dal3d_tpu.runtime.steps import create_train_state
         from dal3d_tpu.solver.optim import OneCycleSchedule, build_optimizer
@@ -100,7 +100,7 @@ def main():
             pipeline=[dict(s) for s in val_data.get("pipeline", [])],
             tasks=[dict(t) for t in cfg.tasks],
             max_points=cfg.get("max_points", 300000),
-        voxelize_host=host_voxelize_cfg(cfg),
+            voxelize_host=loader_voxelize_cfg(cfg),
             test_mode=True,
         )
         batch_size = args.batch_size or cfg.data.get("samples_per_gpu", 2) * jax.device_count()

@@ -1,6 +1,19 @@
 #!/usr/bin/env python
-"""Cumulative in-jit stage timing of the full predict path at production
-scale: pack -> backbone -> RPN -> head forward -> decode+topk -> NMS."""
+"""Per-level model split of the production predict's backbone, host plans in.
+
+Returns only ``middle[k].features`` from the jitted forward, so XLA
+dead-code-eliminates every deeper level — here DCE is the *instrument*:
+the delta between successive k is exactly one backbone stage, with the
+host-plan feed identical to production (PLAN_HOST=1, default here). The
+final stages add the dense reshape + RPN + head convs ("model", matching
+tools/profile_predict.py's first stage).
+
+Level map (banded/brick engines, models/backbones/scn.py):
+  k=0  pack + L0 subm convs (+ds1 inside the L0 remat section)
+  k=1  stage1 (ds + 4 subm convs at W/2)
+  k=2  stage2 (W/4)
+  k=3  stage3 (W/8)
+"""
 import os
 import sys
 import time
@@ -15,21 +28,22 @@ def main():
     import numpy as np
     import jax.numpy as jnp
 
-    from dal3d_tpu.native import host_ops
     from dal3d_tpu.models.builder import build_detector
+    from dal3d_tpu.native import host_ops
     from dal3d_tpu.runtime.steps import create_train_state
     from dal3d_tpu.solver.optim import OneCycleSchedule, build_optimizer
     from dal3d_tpu.utils import Config
-    from dal3d_tpu.models.heads.mg_head import multi_group_predict
     from tools.microbench import _lidar_cloud
 
     cfg = Config.fromfile(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "configs", "cbgs_spatial_temporal.py"))
+    impl = os.environ.get("IMPL")
+    if impl:
+        cfg["model"]["backbone"]["impl"] = impl
     bundle = build_detector(cfg)
 
-    B, M = 2, 60000
+    B, M, P = int(os.environ.get("PB_B", 2)), 60000, 250_000
     rng = np.random.RandomState(0)
-    P = 250_000
     pts = np.zeros((B, P, 5), np.float32)
     vf = np.zeros((B, M, 5), np.float32)
     vc = np.zeros((B, M, 3), np.int32)
@@ -43,6 +57,16 @@ def main():
         vf[b, :n] = voxels.sum(1) / np.maximum(npts, 1)[:, None]
         vc[b, :n] = coords
         vv[b, :n] = True
+
+    plan = None
+    if os.environ.get("PLAN_HOST", "1") == "1":
+        from dal3d_tpu.models.builder import build_host_sparse_plans, host_voxelize_cfg
+        bp = (host_voxelize_cfg(cfg) or {}).get("brick")
+        if bp:
+            plan = {k: jnp.asarray(v) for k, v in build_host_sparse_plans(
+                vc, vv, bundle.voxel_cfg.sparse_shape, bp).items()}
+            print("host plans fed")
+
     batch = {
         "points": jnp.asarray(pts), "points_valid": jnp.ones((B, P), bool),
         "voxel_features": jnp.asarray(vf), "voxel_coords": jnp.asarray(vc),
@@ -54,60 +78,34 @@ def main():
     state = create_train_state(bundle, opt, jax.random.PRNGKey(0), batch)
     model = bundle.model
 
-    # PLAN_HOST=1: feed the host brick-pack plan (loader-side in production)
-    plan = None
-    if os.environ.get("PLAN_HOST", "0") == "1":
-        from dal3d_tpu.models.builder import build_host_sparse_plans, host_voxelize_cfg
-        bp = (host_voxelize_cfg(cfg) or {}).get("brick")
-        if bp:
-            plan = {k: jnp.asarray(v) for k, v in build_host_sparse_plans(
-                vc, vv, bundle.voxel_cfg.sparse_shape, bp).items()}
-            print(f"host plan: {sorted(plan)} bw={bp['bw']} "
-                  f"cap={bp['mb_cap']} spatial={bp['spatial']}")
-
-    def upto(stage):
+    def upto(k):
         def f(params, bstats, vfj, vcj, vvj):
             vtuple = (vfj, vcj, vvj) if plan is None else (vfj, vcj, vvj, plan)
             out = model.apply({"params": params, "batch_stats": bstats},
                               batch["points"], batch["points_valid"], False,
                               voxels=vtuple)
-            if stage == "model":  # backbone + RPN + head convs
-                return out["preds"][0]["box_preds"]
-            if stage == "decode":
-                # + decode + score-threshold + candidate top-k, stopping
-                # before the IoU matrix / greedy NMS (so the decode->full
-                # delta is exactly the NMS stage). Force boxes AND scores
-                # so the box decode + gathers are not dead-code-eliminated.
-                dets = multi_group_predict(out["preds"], bundle.task_anchors,
-                                           bundle.box_coder, bundle.test_cfg,
-                                           stop_before_nms=True)
-                return (dets["cand_scores"].sum()
-                        + dets["cand_boxes"].sum()
-                        + dets["cand_labels"].sum())
-            dets = multi_group_predict(out["preds"], bundle.task_anchors,
-                                       bundle.box_coder, bundle.test_cfg)
-            if stage == "full":
-                return dets["scores"]
-            return None
+            if isinstance(k, int):
+                m = out["middle"][k]
+                feats = m.features if hasattr(m, "features") else (
+                    m[0] if isinstance(m, tuple) else m)
+                return jnp.asarray(feats, jnp.float32).sum()
+            return out["preds"][0]["box_preds"]  # full model (matches profile_predict)
         return jax.jit(f)
 
     a = (state.params, state.batch_stats, batch["voxel_features"],
          batch["voxel_coords"], batch["voxel_valid"])
     prev = 0.0
-    # "decode" = model + per-task box decode + sigmoid/threshold + 1000-wide
-    # candidate top-k (stop_before_nms); the decode->full delta is the IoU
-    # matrix + greedy NMS + post-range masking
-    for stage in ("model", "decode", "full"):
-        f = upto(stage)
+    for k in (0, 1, 2, 3, "model"):
+        f = upto(k)
         out = f(*a)
         float(jnp.asarray(out, jnp.float32).sum())
-        t0 = time.perf_counter()
         n = 5
+        t0 = time.perf_counter()
         for _ in range(n):
             out = f(*a)
         float(jnp.asarray(out, jnp.float32).sum())
         dt = (time.perf_counter() - t0) / n * 1e3
-        print(f"upto {stage:8s} {dt:8.1f} ms  (+{dt - prev:6.1f})")
+        print(f"upto {str(k):6s} {dt:8.1f} ms  (+{dt - prev:6.1f})")
         prev = dt
 
 

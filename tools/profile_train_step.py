@@ -73,12 +73,60 @@ def main():
     step = make_train_step(bundle, opt)
     state, logs = step(state, batch)
     print("first step loss:", float(logs["loss"]))
+
+    # ---- stage split: fwd-loss only / +backward / full step ----
+    # (mirrors make_train_step's loss_fn; deltas = backward pass and
+    # optimizer+param-update respectively)
+    voxels = (batch["voxel_features"], batch["voxel_coords"], batch["voxel_valid"])
+    if "brick_row" in batch:
+        from dal3d_tpu.ops.sparse_brick import host_plan_batch_keys
+        voxels = voxels + ({k: batch[k] for k in host_plan_batch_keys(batch)},)
+
+    def loss_fn(params, bstats):
+        out, _ = bundle.model.apply(
+            {"params": params, "batch_stats": bstats},
+            batch["points"], batch["points_valid"], True,
+            voxels=voxels, mutable=["batch_stats"])
+        from dal3d_tpu.models import multi_group_loss
+        labels, targets, _ = bundle.assigner.assign_all(
+            batch["gt_boxes"], batch["gt_classes"])
+        logs = multi_group_loss(out["preds"], labels, targets,
+                                bundle.num_classes, bundle.loss_cfg)
+        return logs["loss"]
+
+    import optax
+
+    fwd = jax.jit(loss_fn)
+
+    def grad_only(p, bs):
+        # grads forced via global_norm so the whole backward is live
+        loss, grads = jax.value_and_grad(loss_fn)(p, bs)
+        return loss + optax.global_norm(grads) * 0
+
+    def timeit(f, *a, n=5):
+        out = f(*a)
+        float(jnp.asarray(out, jnp.float32).sum()
+              if hasattr(out, "sum") else jnp.asarray(out[1]["loss"]))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = f(*a)
+        float(jnp.asarray(out, jnp.float32).sum()
+              if hasattr(out, "sum") else jnp.asarray(out[1]["loss"]))
+        return (time.perf_counter() - t0) / n * 1e3
+
+    t_fwd = timeit(fwd, state.params, state.batch_stats)
+    print(f"fwd loss only:      {t_fwd:6.0f} ms")
+
+    t_bwd = timeit(jax.jit(grad_only), state.params, state.batch_stats)
+    print(f"fwd+bwd:            {t_bwd:6.0f} ms  (bwd +{t_bwd - t_fwd:.0f})")
+
     n = 5
     t0 = time.perf_counter()
     for _ in range(n):
         state, logs = step(state, batch)
     float(logs["loss"])
     dt = (time.perf_counter() - t0) / n
+    print(f"full step:          {dt*1e3:6.0f} ms  (optimizer/update +{dt*1e3 - t_bwd:.0f})")
     print(f"train step (B={B}): {dt*1e3:.0f} ms -> {B/dt:.2f} scans/s/chip training")
 
 

@@ -41,7 +41,7 @@ def main():
     import numpy as np
 
     from dal3d_tpu.data import DataLoader, NuScenesDataset
-    from dal3d_tpu.models.builder import build_detector, host_voxelize_cfg
+    from dal3d_tpu.models.builder import build_detector, loader_voxelize_cfg
     from dal3d_tpu.parallel.mesh import make_mesh
     from dal3d_tpu.runtime.trainer import Trainer
     from dal3d_tpu.solver.optim import OneCycleSchedule, build_optimizer
@@ -92,7 +92,7 @@ def main():
         pipeline=[dict(s) for s in train_data.get("pipeline", [])],
         tasks=[dict(t) for t in cfg.tasks],
         max_points=cfg.get("max_points", 300000),
-        voxelize_host=host_voxelize_cfg(cfg),
+        voxelize_host=loader_voxelize_cfg(cfg),
     )
     logger.info(f"dataset: {len(dataset)} frames after CBGS resampling")
 
@@ -182,7 +182,7 @@ def main():
             pipeline=[dict(s) for s in val_data.get("pipeline", [])],
             tasks=[dict(t) for t in cfg.tasks],
             max_points=cfg.get("max_points", 300000),
-            voxelize_host=host_voxelize_cfg(cfg),
+            voxelize_host=loader_voxelize_cfg(cfg),
             test_mode=True,
         )
 
