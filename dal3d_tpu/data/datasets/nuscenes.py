@@ -122,6 +122,25 @@ def build_pipeline(pipeline_cfgs: List[dict], tasks=None, max_points=300000,
             stages.append(cls(**cfg))
         else:
             raise KeyError(f"unknown pipeline stage {t}")
+    # val-mode sweep-read cap: when every stage between the lidar load and the
+    # fixed-shape reformat preserves point order (no shuffle/subsample), the
+    # reformat keeps the first max_points rows — so reading past the cap is
+    # wasted IO. Only the whitelisted stage set below is provably
+    # order-preserving in val mode; anything else disables the cap.
+    _order_preserving = (LoadPointCloudFromFile, LoadPointCloudAnnotations,
+                         ReformatFixedShape)
+    safe = all(
+        isinstance(s, _order_preserving)
+        or (isinstance(s, Preprocess) and not s.shuffle_points)
+        or type(s).__name__ in ("LoadMultiViewImages", "ImageAug3D", "GridMask",
+                                "ImageNormalize", "ImagePad", "ReformatCamera",
+                                "LoadBEVSegmentation")
+        for s in stages
+    )
+    if safe:
+        for s in stages:
+            if isinstance(s, LoadPointCloudFromFile):
+                s.max_points = max_points
     return stages
 
 

@@ -141,23 +141,46 @@ class BaseSelector:
             i["cam_front_path"].split("/")[-1].split("__")[0] for i in self.infos_origin
         ]
 
-    def run_pool_scoring(self, cache_path: Optional[str] = None) -> Dict[str, np.ndarray]:
+    def run_pool_scoring(self, cache_path: Optional[str] = None,
+                         pipeline_depth: int = 2) -> Dict[str, np.ndarray]:
         """Full-pool inference: embeddings [N, C] + mean score entropy [N]
-        + per-frame padded scores/labels (reference buffer_pred loops)."""
+        + per-frame padded scores/labels (reference buffer_pred loops).
+
+        The loop is software-pipelined: up to ``pipeline_depth`` batches are
+        dispatched to the device before the oldest result is fetched, so
+        device compute overlaps both the loader's host prep and the D2H
+        fetch round-trip (on relayed backends one fetch RPC costs ~25-50 ms
+        serialized against the stream; lagging the fetch hides it behind the
+        next batch's compute). Each batch's five outputs are fetched in ONE
+        ``jax.device_get`` — per-array ``np.asarray`` fetches each paid a
+        full round-trip (~25 ms x 5 measured)."""
         if cache_path and os.path.exists(cache_path):
             self.logger.info(f"load pool scoring from {cache_path}")
             return dict(np.load(cache_path))
         assert self.detector is not None and self.dataloader is not None, (
             "model-based selector needs score_fn + dataloader (or a cache file)"
         )
+        import collections
+
+        import jax
+
         embs, ents, scores, labels, valids = [], [], [], [], []
-        for batch in self.dataloader:
-            out = self.detector(batch)
+
+        def collect(out):
+            out = jax.device_get(out)  # numpy passes through unchanged
             embs.append(np.asarray(out["embedding"]))
             ents.append(np.asarray(out["score_entropy"]))
             scores.append(np.asarray(out["scores"]))
             labels.append(np.asarray(out["label_preds"]))
             valids.append(np.asarray(out["det_valid"]))
+
+        pending: collections.deque = collections.deque()
+        for batch in self.dataloader:
+            pending.append(self.detector(batch))
+            if len(pending) >= max(pipeline_depth, 1):
+                collect(pending.popleft())
+        while pending:
+            collect(pending.popleft())
         result = {
             "embedding": np.concatenate(embs)[: len(self.infos_origin)],
             "score_entropy": np.concatenate(ents)[: len(self.infos_origin)],

@@ -55,3 +55,50 @@ def test_more_workers_than_batches():
     out = _ids(DataLoader(_Toy(4), 4, shuffle=False, drop_last=False,
                           num_workers=8))
     assert out == [[0, 1, 2, 3]]
+
+
+# ---------------------------------------------------------------------------
+# val-mode sweep-read cap (LoadPointCloudFromFile.max_points)
+# ---------------------------------------------------------------------------
+def _synthetic_val_dataset(tmp_path, max_points, shuffle_points=False,
+                           points_per_frame=4000):
+    from dal3d_tpu.data import NuScenesDataset
+    from dal3d_tpu.data.datasets.synthetic import make_synthetic_nuscenes
+
+    info_path = make_synthetic_nuscenes(
+        str(tmp_path), n_frames=3, points_per_frame=points_per_frame)
+    pipeline = [
+        dict(type="LoadPointCloudFromFile", dataset="NuScenesDataset"),
+        dict(type="LoadPointCloudAnnotations", with_bbox=True),
+        dict(type="Preprocess", cfg=dict(mode="val", shuffle_points=shuffle_points)),
+        dict(type="ReformatFixedShape"),
+    ]
+    return NuScenesDataset(
+        info_path=info_path, nsweeps=10, class_names=["car"],
+        pipeline=pipeline, tasks=[dict(num_class=1, class_names=["car"])],
+        max_points=max_points, test_mode=True)
+
+
+def test_sweep_read_cap_bit_identical(tmp_path):
+    """Early-stopping the sweep reads at max_points must reproduce the
+    uncapped read + fixed-shape truncation exactly (same RNG stream)."""
+    cap = 9000  # keyframe (4000) + ~1.25 sweeps
+    ds = _synthetic_val_dataset(tmp_path / "a", cap)
+    load = ds.pipeline[0]
+    assert load.max_points == cap  # wired: every stage is order-preserving
+
+    np.random.seed(123)
+    capped = ds[1]
+    load.max_points = None  # disable: full read, truncation at Reformat
+    np.random.seed(123)
+    full = ds[1]
+    np.testing.assert_array_equal(capped["points"], full["points"])
+    np.testing.assert_array_equal(capped["points_valid"], full["points_valid"])
+    assert capped["points_valid"].sum() == cap  # the cap actually bound
+
+
+def test_sweep_read_cap_disabled_by_shuffling_stage(tmp_path):
+    """A point-shuffling stage after the load makes early truncation unsound
+    (the shuffle samples from ALL read points): the cap must stay unwired."""
+    ds = _synthetic_val_dataset(tmp_path / "b", 9000, shuffle_points=True)
+    assert ds.pipeline[0].max_points is None
