@@ -88,7 +88,12 @@ class FPNVoxelNet(nn.Module):
             band_widths=self.band_widths, down_bands=self.down_bands,
             band_fb_cap=self.band_fb_cap, banded_caps=self.banded_caps,
         )(sb, train)
-        RematRPN = nn.remat(RPN, static_argnums=(2,))
+        # same knob as the backbone (scn.py): RPN activations at B=2 are
+        # ~0.4 GB — storing beats recomputing on a 16 GB chip
+        import os
+
+        RematRPN = (RPN if os.environ.get("DAL3D_REMAT", "0") == "0"
+                    else nn.remat(RPN, static_argnums=(2,)))
         neck = RematRPN(
             layer_nums=self.rpn_layer_nums,
             ds_layer_strides=self.rpn_ds_strides,
