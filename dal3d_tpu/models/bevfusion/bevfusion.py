@@ -77,9 +77,19 @@ class BEVFusion(nn.Module):
         # ---- lidar branch ----
         if self.with_lidar:
             cfg = self.voxel_cfg
-            vox = jax.vmap(lambda p, v: voxelize_mean_grid(p, v, cfg))(
-                batch["points"], batch["points_valid"]
-            )
+            if "voxel_features" in batch:
+                # loader-fed host voxels (native C++ points_to_voxel_mean,
+                # same zyx mean-VFE contract as the CBGS path): skips the
+                # on-device voxelizer, whose 85M-cell grid compaction at the
+                # 0.075 m fusion resolution is 737 ms of the 1127 ms lidar
+                # branch (measured on chip at B=1, 300k points)
+                vox = {"features": batch["voxel_features"],
+                       "coordinates": batch["voxel_coords"],
+                       "voxel_valid": batch["voxel_valid"]}
+            else:
+                vox = jax.vmap(lambda p, v: voxelize_mean_grid(p, v, cfg))(
+                    batch["points"], batch["points_valid"]
+                )
             sb = sp.from_voxels(vox["features"], vox["coordinates"], vox["voxel_valid"], cfg.sparse_shape)
             lidar_bev = SparseEncoder(
                 encoder_channels=self.encoder_channels, voxel_caps=self.voxel_caps

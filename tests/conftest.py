@@ -51,6 +51,7 @@ _MEASURED_SLOW = {
     "test_convert_second.py::test_npz_roundtrip_and_state_init",
     "test_convert_bevfusion.py::test_converted_bevfusion_matches_torch_reference",
     "test_bevfusion.py::test_bevfusion_camera_only_forward",
+    "test_bevfusion.py::test_bevfusion_host_voxel_feed_matches_device_voxelize",
     "test_bevfusion.py::test_bevfusion_centerpoint_head",
     "test_model_forward.py::test_iou_and_loss_head_variants",
     "test_extras.py::test_image_backbones_forward",

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 from dal3d_tpu.ops.bev_pool import bev_pool, bev_pool_batched
-from dal3d_tpu.ops.voxelize import VoxelConfig
+from dal3d_tpu.ops.voxelize import VoxelConfig, voxelize_mean_grid
 from dal3d_tpu.models.bevfusion import (
     BEVFusion, SwinTransformer, TransFusionTestCfg, transfusion_decode, transfusion_loss,
 )
@@ -323,3 +323,25 @@ def test_bevfusion_train_step_mesh(lidar_batch):
         state, logs = step(state, sb)
     assert np.isfinite(float(logs["loss"]))
     assert int(logs["num_matched"]) == 2 * B
+
+
+def test_bevfusion_host_voxel_feed_matches_device_voxelize(lidar_batch):
+    """Feeding precomputed voxels ('voxel_features' in the batch) must skip
+    the on-device voxelizer and produce the SAME lidar BEV as the raw-points
+    path. The production loader host-voxelizes (native C++); on chip the
+    device voxelizer's 85M-cell compaction is 65% of the lidar branch."""
+    batch, _, _ = lidar_batch
+    model = BEVFusion(
+        voxel_cfg=VCFG, with_camera=False, num_proposals=16,
+        decoder_channels=(32, 64), voxel_caps=(2000, 1000, 500, 500),
+    )
+    var = model.init(jax.random.PRNGKey(0), batch, False)
+    a = model.apply(var, batch, False, stop_at="lidar")["lidar"]
+
+    # precompute voxels with the same device voxelizer, feed them in
+    vox = jax.vmap(lambda p, v: voxelize_mean_grid(p, v, VCFG))(
+        batch["points"], batch["points_valid"])
+    fed = dict(batch, voxel_features=vox["features"],
+               voxel_coords=vox["coordinates"], voxel_valid=vox["voxel_valid"])
+    b = model.apply(var, fed, False, stop_at="lidar")["lidar"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)

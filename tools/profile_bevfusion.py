@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from dal3d_tpu.utils.platform import setup_jax
 
 
-def build_batch(jax, B, P, n_cam, image_hw, with_camera, pc_range, seed=0):
+def build_batch(jax, B, P, n_cam, image_hw, with_camera, pc_range, seed=0,
+                host_voxelize=None):
     import numpy as np
     import jax.numpy as jnp
 
@@ -39,6 +40,25 @@ def build_batch(jax, B, P, n_cam, image_hw, with_camera, pc_range, seed=0):
         pts[b, : len(p), 3] = rng.uniform(0, 255, len(p))
         valid[b, : len(p)] = True
     batch = {"points": jnp.asarray(pts), "points_valid": jnp.asarray(valid)}
+    if host_voxelize is not None:
+        # production feed: the loader host-voxelizes (native C++), the model
+        # skips its on-device voxelizer (65% of the lidar branch on chip)
+        from dal3d_tpu.native import host_ops
+
+        vc = host_voxelize
+        M = int(vc.max_voxel_num)
+        vf = np.zeros((B, M, 5), np.float32)
+        vcrd = np.zeros((B, M, 3), np.int32)
+        vval = np.zeros((B, M), bool)
+        for b in range(B):
+            feats, coords, _ = host_ops.points_to_voxel_mean(
+                pts[b][valid[b]], vc.voxel_size, vc.point_cloud_range,
+                int(vc.max_points_in_voxel), M)
+            n = feats.shape[0]
+            vf[b, :n], vcrd[b, :n], vval[b, :n] = feats, coords, True
+        batch.update({"voxel_features": jnp.asarray(vf),
+                      "voxel_coords": jnp.asarray(vcrd),
+                      "voxel_valid": jnp.asarray(vval)})
     if with_camera:
         iH, iW = image_hw
         intrins = np.tile(
@@ -93,8 +113,12 @@ def build_fusion(jax, with_camera: bool, B: int, P: int = 300000):
         pc_range=tuple(tc.get("pc_range", (-54.0, -54.0))),
         score_threshold=float(tc.get("score_threshold", 0.0)),
     )
+    # host voxels by default (the production loader host-voxelizes; the
+    # on-device voxelizer's 85M-cell compaction is 65% of the lidar branch);
+    # BF_HOST_VOX=0 measures the raw-points path instead
+    hv = vcfg if os.environ.get("BF_HOST_VOX", "1") == "1" else None
     batch = build_batch(jax, B, P, 6, tuple(mc.get("image_size", (256, 704))),
-                        with_camera, pc_range=54.0)
+                        with_camera, pc_range=54.0, host_voxelize=hv)
     return model, test_cfg, batch
 
 
