@@ -123,12 +123,25 @@ def measure_throughput(impl: str | None):
     # iteration executed on ANY runtime (not just in-order single-stream
     # ones). The [B, M, 5] add is ~2 MB of HBM traffic, noise vs the ~100 ms
     # predict.
+    # The perturbation lives INSIDE the jitted wrapper: the first version of
+    # this chain did `feats0 + out["scores"][0,0]*1e-30` eagerly between
+    # dispatches, and those 3 tiny eager ops per iteration each paid the
+    # relay's fixed per-dispatch cost — measured 8.8 scans/s vs 20+ for the
+    # same predict, a bench artifact masquerading as a regression. One
+    # dispatch per iteration, dependency carried as a returned scalar.
+    @jax.jit
+    def chained(params, bstats, pb, eps):
+        pb = dict(pb, voxel_features=pb["voxel_features"] + eps * 1e-30)
+        out = predict(params, bstats, pb)
+        return out, out["scores"][0, 0]
+
     n_iter = 12
-    feats0 = pb["voxel_features"]
+    eps = jnp.float32(0)
+    out, eps = chained(state.params, state.batch_stats, pb, eps)
+    float(out["scores"].sum())  # compile the wrapper before timing
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = predict(state.params, state.batch_stats, pb)
-        pb = dict(pb, voxel_features=feats0 + out["scores"][0, 0] * 1e-30)
+        out, eps = chained(state.params, state.batch_stats, pb, eps)
     float(out["scores"].sum())
     dt = (time.perf_counter() - t0) / n_iter
     return B / dt
