@@ -241,3 +241,45 @@ def test_exclude_buffer_blocks_seed_frames(synth_env):
                             logs_file=env["logs_file"],
                             exclude_buffer=seed_file), budget=3)
     assert not set(chosen) & set(seed_ids), (chosen, seed_ids)
+
+
+def test_run_pool_scoring_pipeline_depth_invariant(tmp_path):
+    """The software-pipelined scoring loop (dispatch-ahead + lagged fetch)
+    must keep per-frame results in loader order at ANY pipeline depth."""
+    from dal3d_tpu.selectors.base_selector import BaseSelector
+    from dal3d_tpu.utils.fileio import dump
+
+    n, B, K = 10, 2, 4
+
+    class _Loader:
+        def __iter__(self):
+            for i in range(0, n, B):
+                yield {"idx": np.arange(i, i + B)}
+
+    def detector(batch):
+        i = batch["idx"]
+        return {
+            "embedding": np.tile(i[:, None].astype(np.float32), (1, 3)),
+            "score_entropy": i.astype(np.float32),
+            "scores": np.tile(i[:, None].astype(np.float32), (1, K)),
+            "label_preds": np.tile(i[:, None], (1, K)).astype(np.int32),
+            "det_valid": np.ones((B, K), bool),
+        }
+
+    import pickle
+
+    buffer_file = str(tmp_path / "buffer.json")
+    dump({"0": []}, buffer_file)
+    infos_path = str(tmp_path / "infos.pkl")
+    with open(infos_path, "wb") as f:
+        pickle.dump([{"gt_names": []}] * n, f)
+    results = {}
+    for depth in (1, 2, 5):
+        sel = BaseSelector(budget=4, buffer_file=buffer_file,
+                           infos_origin=infos_path,
+                           detector=detector, dataloader=_Loader())
+        results[depth] = sel.run_pool_scoring(pipeline_depth=depth)
+    for depth in (2, 5):
+        for k in results[1]:
+            np.testing.assert_array_equal(results[depth][k], results[1][k])
+    np.testing.assert_array_equal(results[1]["score_entropy"], np.arange(n, dtype=np.float32))
