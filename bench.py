@@ -344,7 +344,7 @@ def _subprocess_throughput(impl: str, timeout_s: float):
         return None
 
 
-def _probe_backend(timeout_s: float = 300.0) -> bool:
+def _probe_backend(timeout_s: float = 900.0) -> bool:
     """Fail fast (with a diagnosable message) when the TPU relay is dead —
     backend init otherwise hangs indefinitely and the driver only sees a
     timeout. Probes in a subprocess so a hung init cannot wedge this one."""
@@ -387,7 +387,9 @@ def main():
                           "impl": impl or "config-default"}))
         return
 
-    if not _probe_backend(float(os.environ.get("BENCH_PROBE_TIMEOUT", 300))):
+    # 900 s default: a loaded axon relay was measured taking ~170 s just to
+    # init the backend — failing the whole bench on a slow init is wrong
+    if not _probe_backend(float(os.environ.get("BENCH_PROBE_TIMEOUT", 900))):
         sys.exit(3)
 
     # Both engines run in timeout-guarded subprocesses (advisor r3: the guard
